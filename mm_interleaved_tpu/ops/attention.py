@@ -1,0 +1,85 @@
+"""Scaled dot-product attention with fp32 softmax.
+
+Replaces the reference's three attention backends — flash-attn CUDA kernels
+for LLaMA training (`monkey_patch/llama_flash_attn_train_monkey_patch.py`),
+xformers `memory_efficient_attention` for the CLIP ViT (`vit_adapter/xattn.py`)
+and the SD UNet (`decoders/sd.py:64-65`) — with one entry point.  On TPU the
+hot path dispatches to a Pallas flash-attention kernel
+(`ops/flash_attention.py`); everywhere else (CPU tests, odd shapes) it uses a
+fused-by-XLA jnp implementation with identical semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _use_pallas(q: jax.Array) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    # Pallas kernel requires head_dim and seq tiles aligned to hardware lanes.
+    *_, t, h, d = q.shape
+    return d % 128 == 0 and t >= 256
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    bias: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    allow_pallas: bool = True,
+) -> jax.Array:
+    """Multi-head attention.
+
+    Args:
+      q: ``[B, Tq, H, D]``.
+      k, v: ``[B, Tk, H, D]`` (H may be 1 for MQA-style broadcast).
+      bias: optional additive bias broadcastable to ``[B, H, Tq, Tk]``.
+      mask: optional boolean mask broadcastable to ``[B, H, Tq, Tk]``;
+        True = attend.
+      causal: apply causal masking (query i attends keys <= i, aligned to the
+        *end* of the key sequence so it composes with prefix KV caches).
+      scale: overrides the default ``1/sqrt(D)``.
+    """
+    if allow_pallas and _use_pallas(q) and bias is None and mask is None:
+        try:
+            from .flash_attention import flash_attention
+
+            return flash_attention(q, k, v, causal=causal, scale=scale)
+        except Exception:
+            pass  # fall through to the XLA path
+
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+    dtype = q.dtype
+
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+
+    neg = jnp.finfo(jnp.float32).min
+    if causal:
+        tq, tk = q.shape[1], k.shape[1]
+        qi = jnp.arange(tq)[:, None] + (tk - tq)
+        ki = jnp.arange(tk)[None, :]
+        logits = jnp.where(ki <= qi, logits, neg)
+    if mask is not None:
+        logits = jnp.where(mask, logits, neg)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(dtype)

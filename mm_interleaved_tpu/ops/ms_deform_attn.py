@@ -1,0 +1,168 @@
+"""Multi-scale deformable attention, TPU-native.
+
+The reference implements this as a hand-written CUDA kernel
+(`/root/reference/mm_interleaved/models/utils/ops/src/cuda/ms_deform_im2col_cuda.cuh:241-303`)
+with a pure-PyTorch `grid_sample` fallback
+(`.../functions/ms_deform_attn_func.py:47-67`).  On TPU we express the op as a
+batched gather + bilinear blend: XLA lowers the `take_along_axis` calls onto the
+vector units and fuses the surrounding elementwise math, and JAX autodiff gives
+us the backward pass for free (the CUDA backward's scatter-add becomes an XLA
+scatter).  Accumulation is always fp32 regardless of input dtype, matching the
+reference's `opmath_t` fp32 accumulation for fp16 inputs.
+
+Semantics (matching the reference op):
+  * sampling locations are normalised to [0, 1] over each level's grid,
+    sampled with `align_corners=False` convention: pixel centre of texel
+    ``(i, j)`` sits at ``((j + 0.5)/W, (i + 0.5)/H)``.
+  * out-of-bounds samples contribute zero (``padding_mode="zeros"``).
+
+Spatial shapes must be static (python ints) — they determine gather layout and
+keeping them static lets XLA tile everything; the reference carries them in an
+int64 tensor only because CUDA kernels take runtime args.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+
+
+def _bilinear_gather_one_level(
+    value_l: jax.Array,  # [B, H_heads, HW, D] (fp32)
+    loc: jax.Array,  # [B, Lq, H_heads, P, 2] in [0,1] (x, y) (fp32)
+    h: int,
+    w: int,
+) -> jax.Array:
+    """Bilinear sample one pyramid level at the given normalised locations.
+
+    Returns [B, Lq, H_heads, P, D] with zeros outside the grid.
+    """
+    B, Lq, n_heads, P, _ = loc.shape
+
+    # align_corners=False mapping from normalised [0,1] to texel coordinates.
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0  # fractional offsets
+    ly = y - y0
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # Corner weights (zeros padding -> mask out-of-bounds corners).
+    def corner(ix, iy, wgt):
+        valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        flat = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+        return flat, jnp.where(valid, wgt, 0.0)
+
+    corners = [
+        corner(x0i, y0i, (1.0 - lx) * (1.0 - ly)),
+        corner(x0i + 1, y0i, lx * (1.0 - ly)),
+        corner(x0i, y0i + 1, (1.0 - lx) * ly),
+        corner(x0i + 1, y0i + 1, lx * ly),
+    ]
+
+    # One fused gather for all 4 corners: indices [B, H_heads, Lq*P*4]
+    idx = jnp.stack([c[0] for c in corners], axis=-1)  # [B, Lq, Hh, P, 4]
+    wgt = jnp.stack([c[1] for c in corners], axis=-1)  # [B, Lq, Hh, P, 4]
+
+    idx = rearrange(idx, "b q h p c -> b h (q p c)")
+    gathered = jnp.take_along_axis(value_l, idx[..., None], axis=2)
+    gathered = rearrange(
+        gathered, "b h (q p c) d -> b q h p c d", q=Lq, p=P, c=4
+    )
+    out = (gathered * wgt[..., None]).sum(axis=-2)  # [B, Lq, Hh, P, D]
+    return out
+
+
+def ms_deform_attn(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """Multi-scale deformable attention core.
+
+    Args:
+      value: ``[B, S, n_heads, D]`` flattened multi-level features where
+        ``S == sum(H_l * W_l)`` over the (possibly per-image repeated) levels.
+      spatial_shapes: static ``[(H_0, W_0), ...]`` — one entry per level,
+        in the order levels are concatenated along ``S``.
+      sampling_locations: ``[B, Lq, n_heads, L, P, 2]`` in [0, 1], ``(x, y)``.
+      attention_weights: ``[B, Lq, n_heads, L, P]`` (already softmaxed across
+        the flattened ``L*P`` axis by the caller, possibly including extra
+        slots such as MMFS's ignore token).
+
+    Returns:
+      ``[B, Lq, n_heads * D]`` in the dtype of ``value``.
+    """
+    B, S, n_heads, D = value.shape
+    L = len(spatial_shapes)
+    assert sampling_locations.shape[3] == L, (
+        f"sampling_locations has {sampling_locations.shape[3]} levels, "
+        f"spatial_shapes has {L}"
+    )
+    sizes = [h * w for (h, w) in spatial_shapes]
+    assert sum(sizes) == S, f"spatial shapes {spatial_shapes} != S={S}"
+
+    out_dtype = value.dtype
+    value32 = value.astype(jnp.float32)
+    loc32 = sampling_locations.astype(jnp.float32)
+    w32 = attention_weights.astype(jnp.float32)
+
+    # [B, n_heads, S, D] for per-head gathering.
+    value32 = rearrange(value32, "b s h d -> b h s d")
+
+    acc = None
+    start = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        value_l = jax.lax.slice_in_dim(value32, start, start + h * w, axis=2)
+        sampled = _bilinear_gather_one_level(
+            value_l, loc32[:, :, :, lid], h, w
+        )  # [B, Lq, Hh, P, D]
+        contrib = (sampled * w32[:, :, :, lid, :, None]).sum(axis=3)
+        acc = contrib if acc is None else acc + contrib
+        start += h * w
+
+    return rearrange(acc, "b q h d -> b q (h d)").astype(out_dtype)
+
+
+def ms_deform_attn_multi_image(
+    value: jax.Array,
+    level_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """Multi-image variant used by MMFS (reference `mmfs.py:120-276`).
+
+    The reference flattens the image axis into the level axis, giving
+    ``n_images * n_levels`` runtime levels.  Because every image shares the
+    same per-level shapes, we instead fold the image axis into the batch axis
+    — one gather per *unique* level — and sum image contributions afterwards
+    (valid because the output is linear in the attention weights, which
+    already carry the per-image masking).
+
+    Args:
+      value: ``[B, n_img, hw, n_heads, D]`` with ``hw == sum(H_l*W_l)``.
+      level_shapes: static per-level ``(H_l, W_l)``, length ``n_levels``.
+      sampling_locations: ``[B, Lq, n_heads, n_img, n_levels, P, 2]``.
+      attention_weights: ``[B, Lq, n_heads, n_img, n_levels, P]``.
+
+    Returns:
+      ``[B, Lq, n_heads * D]``.
+    """
+    B, n_img, hw, n_heads, D = value.shape
+    Lq = sampling_locations.shape[1]
+
+    value_f = rearrange(value, "b n s h d -> (b n) s h d")
+    loc_f = rearrange(sampling_locations, "b q h n l p t -> (b n) q h l p t")
+    w_f = rearrange(attention_weights, "b q h n l p -> (b n) q h l p")
+
+    out = ms_deform_attn(value_f, level_shapes, loc_f, w_f)  # [(b n), q, h*d]
+    out = rearrange(out, "(b n) q c -> b n q c", b=B)
+    return out.sum(axis=1)

@@ -1,0 +1,75 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from mm_interleaved_tpu.ops import (
+    rms_norm,
+    rotary_cos_sin,
+    apply_rotary_embedding,
+    dot_product_attention,
+    get_2d_sincos_pos_embed,
+    get_1d_sincos_pos_embed,
+    resize_abs_pos_embed,
+)
+
+
+def test_rms_norm_matches_torch():
+    x = np.random.RandomState(0).randn(2, 5, 16).astype(np.float32)
+    w = np.random.RandomState(1).rand(16).astype(np.float32)
+    got = rms_norm(jnp.array(x), jnp.array(w))
+    xt = torch.tensor(x)
+    var = xt.pow(2).mean(-1, keepdim=True)
+    want = (xt * torch.rsqrt(var + 1e-6)) * torch.tensor(w)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_rotary_roundtrip_norm_preserving():
+    cos, sin = rotary_cos_sin(8, 32)
+    q = jnp.array(np.random.RandomState(0).randn(1, 4, 2, 8).astype(np.float32))
+    pos = jnp.arange(4)[None, :]
+    q_rot, _ = apply_rotary_embedding(q, q, cos, sin, pos)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(q_rot), axis=-1),
+        np.linalg.norm(np.asarray(q), axis=-1),
+        rtol=1e-5,
+    )
+    # position 0 is identity
+    q0, _ = apply_rotary_embedding(q[:, :1], q[:, :1], cos, sin, pos[:, :1])
+    np.testing.assert_allclose(np.asarray(q0), np.asarray(q[:, :1]), rtol=1e-6)
+
+
+def test_attention_causal_matches_full_mask():
+    rng = np.random.RandomState(0)
+    q = jnp.array(rng.randn(2, 6, 2, 8).astype(np.float32))
+    k = jnp.array(rng.randn(2, 6, 2, 8).astype(np.float32))
+    v = jnp.array(rng.randn(2, 6, 2, 8).astype(np.float32))
+    got = dot_product_attention(q, k, v, causal=True)
+    mask = jnp.tril(jnp.ones((6, 6), bool))[None, None]
+    want = dot_product_attention(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_attention_causal_prefix_alignment():
+    """With Tq < Tk the causal mask aligns to the end (KV-cache decode)."""
+    rng = np.random.RandomState(1)
+    q = jnp.array(rng.randn(1, 1, 1, 4).astype(np.float32))
+    k = jnp.array(rng.randn(1, 5, 1, 4).astype(np.float32))
+    v = jnp.array(rng.randn(1, 5, 1, 4).astype(np.float32))
+    got = dot_product_attention(q, k, v, causal=True)
+    want = dot_product_attention(q, k, v)  # last query sees all 5 keys
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_sincos_pos_embed_shapes():
+    assert get_2d_sincos_pos_embed(16, 4).shape == (16, 16)
+    assert get_2d_sincos_pos_embed(16, 4, cls_token=True).shape == (17, 16)
+    assert get_1d_sincos_pos_embed(32, 10).shape == (10, 32)
+
+
+def test_resize_abs_pos_embed():
+    pe = jnp.array(get_2d_sincos_pos_embed(16, 4))
+    out = resize_abs_pos_embed(pe, 4, 8)
+    assert out.shape == (64, 16)
+    # identity when sizes match
+    assert resize_abs_pos_embed(pe, 4, 4) is pe
