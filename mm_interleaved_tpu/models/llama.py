@@ -1,0 +1,414 @@
+"""LLaMA decoder with interleaved MMFS cross-attention — TPU-native.
+
+Re-design of the reference `models/decoders/modeling_llama_mmfs.py` (LlamaModel
+:567-755, LlamaMMFSAttention :311-367, LlamaDecoderLayer :370-450) as flax
+modules:
+
+  * every ``cross_attention_frequency``-th layer (idx % freq == 0, reference
+    :581-583) gains a zero-init tanh-gated MMFS cross-attention block reading
+    the multi-scale ViT pyramids of all *preceding* images;
+  * the HF dynamically-growing ``past_key_values`` concat (:239-244) is
+    replaced by a preallocated functional KV cache with a length counter —
+    static shapes keep XLA from recompiling per decode step;
+  * attention uses fp32 softmax (the flash-attn monkey patch's semantics)
+    through :mod:`mm_interleaved_tpu.ops.attention`;
+  * supports GQA (``num_key_value_heads``) even though Vicuna-13B is MHA,
+    since the framework targets current LLaMA-family checkpoints too.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from flax import struct
+
+from ..ops.attention import dot_product_attention
+from ..ops.rmsnorm import rms_norm
+from ..ops.rotary import apply_rotary_embedding, rotary_cos_sin
+from .mmfs import MMFS
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32002
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: Optional[int] = None  # None -> MHA
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    # --- MMFS cross-attention (reference LlamaMMFSAttention :311-344)
+    cross_attention_frequency: int = 4
+    image_embed_dim: int = 1024
+    spatial_shapes: Tuple[int, ...] = (32, 16, 8)
+    mmfs_heads: int = 16
+    mmfs_points: int = 8
+    max_num_image_per_seq: int = 50
+    # --- runtime
+    dtype: str = "float32"  # compute dtype ("bfloat16" on TPU)
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_key_value_heads or self.num_attention_heads
+
+    @property
+    def level_shapes(self) -> Tuple[Tuple[int, int], ...]:
+        return tuple((s, s) for s in self.spatial_shapes)
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def has_cross_attn(self, layer_idx: int) -> bool:
+        return layer_idx % self.cross_attention_frequency == 0
+
+
+@struct.dataclass
+class KVCache:
+    """Preallocated per-layer KV cache.
+
+    ``k``/``v``: ``[n_layers, B, max_len, n_kv_heads, head_dim]``;
+    ``valid``: ``[B, max_len]`` bool — which slots hold real (non-pad) tokens;
+    ``length``: scalar int32 — number of slots written so far (pad included).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    valid: jax.Array
+    length: jax.Array
+
+    @classmethod
+    def create(cls, config: LlamaConfig, batch: int, max_len: int) -> "KVCache":
+        shape = (
+            config.num_hidden_layers,
+            batch,
+            max_len,
+            config.kv_heads,
+            config.head_dim,
+        )
+        dtype = config.compute_dtype
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            valid=jnp.zeros((batch, max_len), jnp.bool_),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+    def reorder(self, beam_idx: jax.Array) -> "KVCache":
+        """Gather along batch — the `_reorder_cache` analogue for beam search
+        (reference modeling_llama_mmfs.py:912-917)."""
+        return KVCache(
+            k=self.k[:, beam_idx],
+            v=self.v[:, beam_idx],
+            valid=self.valid[beam_idx],
+            length=self.length,
+        )
+
+
+class LlamaMLP(nn.Module):
+    config: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        dtype = cfg.compute_dtype
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=dtype,
+                        name="gate_proj")(x)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=dtype,
+                      name="up_proj")(x)
+        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=dtype,
+                        name="down_proj")(nn.silu(gate) * up)
+
+
+class RMSNorm(nn.Module):
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        return rms_norm(x, w.astype(x.dtype), self.eps)
+
+
+class LlamaAttention(nn.Module):
+    config: LlamaConfig
+    layer_idx: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T, C]
+        positions: jax.Array,  # [B, T] absolute positions for RoPE
+        attn_mask: jax.Array,  # [B, 1, T, Tk] bool, True = attend
+        cache_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+        cache_length: Optional[jax.Array] = None,
+    ):
+        cfg = self.config
+        dtype = cfg.compute_dtype
+        B, T, _ = x.shape
+        n_q, n_kv, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
+
+        q = nn.Dense(n_q * hd, use_bias=False, dtype=dtype, name="q_proj")(x)
+        k = nn.Dense(n_kv * hd, use_bias=False, dtype=dtype, name="k_proj")(x)
+        v = nn.Dense(n_kv * hd, use_bias=False, dtype=dtype, name="v_proj")(x)
+        q = q.reshape(B, T, n_q, hd)
+        k = k.reshape(B, T, n_kv, hd)
+        v = v.reshape(B, T, n_kv, hd)
+
+        cos, sin = rotary_cos_sin(hd, cfg.max_position_embeddings,
+                                  base=cfg.rope_theta)
+        q, k = apply_rotary_embedding(q, k, cos, sin, positions)
+
+        new_kv = None
+        if cache_kv is not None:
+            ck, cv = cache_kv  # [B, max_len, n_kv, hd]
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                ck, k.astype(ck.dtype), cache_length, axis=1
+            )
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cv, v.astype(cv.dtype), cache_length, axis=1
+            )
+            k, v = ck, cv
+            new_kv = (ck, cv)
+
+        if n_kv != n_q:
+            rep = n_q // n_kv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+
+        out = dot_product_attention(q, k, v, mask=attn_mask)
+        out = out.reshape(B, T, n_q * hd)
+        out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=dtype,
+                       name="o_proj")(out)
+        return out, new_kv
+
+
+class LlamaMMFSCrossAttention(nn.Module):
+    """Gated MMFS cross-attention (reference LlamaMMFSAttention :311-367).
+
+    Queries every token against all visible image pyramids with a fixed
+    (0.5, 0.5) reference point; output is scaled by a zero-init tanh gate so
+    the pretrained LLM is untouched at init.
+    """
+
+    config: LlamaConfig
+    layer_idx: int
+
+    @nn.compact
+    def __call__(self, x, vision_hidden_states, cross_attention_mask):
+        cfg = self.config
+        h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="norm1")(x)
+        vis = RMSNorm(cfg.image_embed_dim, cfg.rms_norm_eps, name="norm2")(
+            vision_hidden_states
+        )
+        out = MMFS(
+            d_model=cfg.hidden_size,
+            d_query=cfg.hidden_size,
+            d_value=cfg.image_embed_dim,
+            d_out=cfg.hidden_size,
+            n_heads=cfg.mmfs_heads,
+            n_points=cfg.mmfs_points,
+            ratio=cfg.image_embed_dim / cfg.hidden_size,
+            offset_init_magnitude=3.0,
+            level_shapes=cfg.level_shapes,
+            base_spatial_shape=cfg.spatial_shapes[0]
+            if len(cfg.spatial_shapes) == 1
+            else 16,
+            max_num_image_per_seq=cfg.max_num_image_per_seq,
+            dtype=cfg.compute_dtype,
+            name="attn",
+        )(h, vis, cross_attention_mask)
+        gate = self.param("gate", nn.initializers.zeros, (1,), jnp.float32)
+        return out * jnp.tanh(gate).astype(out.dtype)
+
+
+class LlamaDecoderLayer(nn.Module):
+    config: LlamaConfig
+    layer_idx: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        positions,
+        attn_mask,
+        vision_hidden_states=None,
+        cross_attention_mask=None,
+        cache_kv=None,
+        cache_length=None,
+    ):
+        cfg = self.config
+        residual = x
+        h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="input_layernorm")(x)
+        h, new_kv = LlamaAttention(cfg, self.layer_idx, name="self_attn")(
+            h, positions, attn_mask, cache_kv, cache_length
+        )
+        x = residual + h
+
+        if cfg.has_cross_attn(self.layer_idx) and vision_hidden_states is not None:
+            residual = x
+            h = LlamaMMFSCrossAttention(
+                cfg, self.layer_idx, name="llama_cross_attn"
+            )(x, vision_hidden_states, cross_attention_mask)
+            x = residual + h
+
+        residual = x
+        h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
+                    name="post_attention_layernorm")(x)
+        h = LlamaMLP(cfg, name="mlp")(h)
+        return residual + h, new_kv
+
+
+def _build_positions(attention_mask: jax.Array,
+                     prev_valid: Optional[jax.Array] = None) -> jax.Array:
+    """Positions = number of valid tokens strictly before each slot
+    (matches HF's ``cumsum(mask)-1`` convention for left-padded batches)."""
+    csum = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1)
+    pos = csum - attention_mask.astype(jnp.int32)
+    if prev_valid is not None:
+        pos = pos + prev_valid[:, None]
+    return jnp.maximum(pos, 0)
+
+
+class LlamaModel(nn.Module):
+    """Decoder stack. Takes ``inputs_embeds`` (image queries are scattered into
+    the stream by the top model), returns final hidden states."""
+
+    config: LlamaConfig
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            dtype=cfg.compute_dtype,
+            embedding_init=nn.initializers.normal(stddev=0.02),
+        )
+        layer_cls = LlamaDecoderLayer
+        if cfg.remat:
+            layer_cls = nn.remat(
+                LlamaDecoderLayer, static_argnums=(), prevent_cse=False
+            )
+        self.layers = [
+            layer_cls(cfg, i, name=f"layers_{i}")
+            for i in range(cfg.num_hidden_layers)
+        ]
+        self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps)
+
+    def embed(self, text_ids: jax.Array) -> jax.Array:
+        return self.embed_tokens(text_ids)
+
+    def __call__(
+        self,
+        inputs_embeds: jax.Array,  # [B, T, C]
+        attention_mask: Optional[jax.Array] = None,  # [B, T] 1 = valid
+        vision_hidden_states: Optional[jax.Array] = None,  # [B, n_img, hw, Cv]
+        cross_attention_mask: Optional[jax.Array] = None,  # [B, T, n_img]
+        cache: Optional[KVCache] = None,
+        positions: Optional[jax.Array] = None,
+    ):
+        cfg = self.config
+        B, T, _ = inputs_embeds.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, T), jnp.int32)
+
+        if cache is None:
+            if positions is None:
+                positions = _build_positions(attention_mask)
+            qi = jnp.arange(T)[:, None]
+            ki = jnp.arange(T)[None, :]
+            causal = ki <= qi  # [T, Tk]
+            key_valid = attention_mask.astype(bool)[:, None, None, :]
+            attn_mask = causal[None, None] & key_valid
+            cache_length = None
+        else:
+            max_len = cache.k.shape[2]
+            prev_valid = cache.valid.sum(axis=-1).astype(jnp.int32)
+            if positions is None:
+                positions = _build_positions(attention_mask, prev_valid)
+            new_valid = jax.lax.dynamic_update_slice_in_dim(
+                cache.valid, attention_mask.astype(bool), cache.length, axis=1
+            )
+            slot = jnp.arange(max_len)[None, None, :]  # [1, 1, max_len]
+            qi = cache.length + jnp.arange(T)[None, :, None]  # [1, T, 1]
+            causal = slot <= qi  # [1, T, max_len]
+            attn_mask = causal[:, None] & new_valid[:, None, None, :]
+            cache_length = cache.length
+
+        h = inputs_embeds.astype(cfg.compute_dtype)
+        new_ks, new_vs = [], []
+        for i, layer in enumerate(self.layers):
+            cache_kv = None
+            if cache is not None:
+                cache_kv = (cache.k[i], cache.v[i])
+            h, new_kv = layer(
+                h,
+                positions,
+                attn_mask,
+                vision_hidden_states=vision_hidden_states,
+                cross_attention_mask=cross_attention_mask,
+                cache_kv=cache_kv,
+                cache_length=cache_length,
+            )
+            if new_kv is not None:
+                new_ks.append(new_kv[0])
+                new_vs.append(new_kv[1])
+
+        h = self.norm(h)
+
+        new_cache = None
+        if cache is not None:
+            new_cache = KVCache(
+                k=jnp.stack(new_ks),
+                v=jnp.stack(new_vs),
+                valid=new_valid,
+                length=cache.length + T,
+            )
+        return h, new_cache
+
+
+class TextDecoder(nn.Module):
+    """Dual-head text decoder (reference `decoders/decoder_text.py:28-163`):
+    a frozen ``head`` copied from the LLM's lm_head (new-vocab rows zero,
+    bias -100) plus a trainable ``head_new`` delta over the new special-token
+    slots (zero weight, bias 95 -> net -5 at init)."""
+
+    config: LlamaConfig
+    orig_vocab_size: int = 32000
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array) -> jax.Array:
+        cfg = self.config
+        n_new = cfg.vocab_size - self.orig_vocab_size
+
+        def head_bias_init(key, shape, dtype=jnp.float32):
+            b = jnp.zeros(shape, dtype)
+            return b.at[self.orig_vocab_size:].set(-100.0)
+
+        logits = nn.Dense(
+            cfg.vocab_size,
+            dtype=cfg.compute_dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=head_bias_init,
+            name="head",
+        )(hidden_states)
+        logits_new = nn.Dense(
+            n_new,
+            dtype=cfg.compute_dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.constant(100.0 - 5.0),
+            name="head_new",
+        )(hidden_states)
+        return logits.at[..., self.orig_vocab_size:].add(logits_new)
