@@ -1,0 +1,161 @@
+"""Benchmark: interleaved-turn throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+One "interleaved turn" = encode the image context + prefill the prompt +
+decode 32 caption tokens through the cascaded LLM/TextDecoder (with MMFS
+cross-attention active) + sample one image with a 25-step denoise loop —
+i.e. one text->image round of the reference's `inference.py` loop
+(reference inference.py:237-272).
+
+Baseline: the reference pipeline on A100 (Vicuna-13B fp16 beam-5 ~30 tokens +
+SD-2.1 250-step DDPM denoise, per README protocol) sustains on the order of
+0.05 interleaved turns/s/GPU.  BASELINE.json pins no published number
+("published": {}), so `vs_baseline` is measured against that envelope
+estimate scaled to this preset; the north star is >=5x per chip.
+
+Env:
+  BENCH_PRESET=small|base   (default small)
+  BENCH_BATCH, BENCH_DECODE_TOKENS, BENCH_DENOISE_STEPS, BENCH_REPS
+"""
+
+import json
+import os
+import sys
+import time
+
+A100_TURNS_PER_SEC_EST = 0.05
+
+
+def run_bench():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mm_interleaved_tpu.configs import base_config, small_config
+    from mm_interleaved_tpu.generation.diffusion import generate_images
+    from mm_interleaved_tpu.generation.text import (
+        TextGenerationConfig,
+        generate_texts,
+    )
+    from mm_interleaved_tpu.models.mm_interleaved import MMInterleaved
+
+    preset = os.environ.get("BENCH_PRESET", "small")
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    n_decode = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
+    n_denoise = int(os.environ.get("BENCH_DENOISE_STEPS", "25"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    if preset == "base":
+        cfg = base_config(seq_len=512, max_num_images=2, remat=False)
+    else:
+        cfg = small_config(seq_len=256, max_num_images=2)
+
+    model = MMInterleaved(cfg)
+    S = cfg.special
+    ntok = cfg.num_img_token
+    rng = np.random.RandomState(0)
+    L = 128
+    row = [S.bos_token_id, 5, S.soi_token_id] + [S.image_token_id] * ntok
+    row += list(rng.randint(10, 30000, size=L - len(row)))
+    ids = np.tile(np.asarray(row[:L], np.int32), (B, 1))
+    enc_res = cfg.visual.encoder.vit.image_size
+    batch = dict(
+        text_ids=jnp.asarray(ids),
+        image_tensors=jnp.asarray(
+            rng.rand(B, cfg.max_num_images, enc_res, enc_res, 3)
+            .astype(np.float32)
+        ),
+        num_image_per_seq=jnp.ones((B,), jnp.int32),
+        attention_mask=jnp.ones_like(jnp.asarray(ids)),
+    )
+
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        **batch, **(
+            {} if cfg.image_decoder is None else dict(
+                image_tensors_dec=jnp.asarray(
+                    rng.rand(B, cfg.max_num_images,
+                             cfg.image_decoder.image_size,
+                             cfg.image_decoder.image_size, 3)
+                    .astype(np.float32)
+                )
+            )
+        ),
+    )
+    # bf16 weights for inference (fp32 master is a training concern)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        variables,
+    )
+
+    gen_cfg = TextGenerationConfig(
+        max_new_tokens=n_decode,
+        eos_token_ids=(999999,),  # never stop early: fixed work per turn
+        pad_token_id=S.pad_token_id,
+    )
+
+    def text_half(variables, batch, rng_key):
+        return generate_texts(
+            model, variables, batch["text_ids"], batch["image_tensors"],
+            batch["num_image_per_seq"], batch["attention_mask"],
+            gen_cfg, rng_key,
+        )
+
+    def image_half(variables, batch, rng_key):
+        ctx, ctx_mask, mmfs_vals, mmfs_mask = model.apply(
+            variables, batch["text_ids"], batch["image_tensors"],
+            batch["num_image_per_seq"], batch["attention_mask"],
+            method=model.generate_image_inputs,
+        )
+        return generate_images(
+            model, variables, ctx[:B], ctx_mask[:B], rng_key,
+            mmfs_values=mmfs_vals[:B], mmfs_mask=mmfs_mask[:B],
+            num_inference_steps=n_denoise, guidance_scale=3.5,
+        )
+
+    text_jit = jax.jit(text_half)
+    image_jit = jax.jit(image_half)
+
+    key = jax.random.PRNGKey(0)
+    # warmup/compile
+    text_jit(variables, batch, key).block_until_ready()
+    image_jit(variables, batch, key).block_until_ready()
+
+    t0 = time.time()
+    for i in range(reps):
+        k = jax.random.fold_in(key, i)
+        toks = text_jit(variables, batch, k)
+        imgs = image_jit(variables, batch, k)
+    toks.block_until_ready()
+    imgs.block_until_ready()
+    dt = time.time() - t0
+
+    turns_per_sec = reps * B / dt
+    return {
+        "metric": "interleaved_turns_per_sec_per_chip",
+        "value": round(turns_per_sec, 4),
+        "unit": f"turns/s/chip (preset={preset}, B={B}, "
+                f"{n_decode} tok + {n_denoise} denoise steps)",
+        "vs_baseline": round(turns_per_sec / A100_TURNS_PER_SEC_EST, 2),
+    }
+
+
+def main():
+    try:
+        result = run_bench()
+    except Exception as e:  # noqa: BLE001 — always emit one JSON line
+        result = {
+            "metric": "interleaved_turns_per_sec_per_chip",
+            "value": 0.0,
+            "unit": f"turns/s/chip (FAILED: {type(e).__name__}: {e})"[:300],
+            "vs_baseline": 0.0,
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Zero-shot benchmark evaluation entry point.
+
+Mirrors the reference `evaluate.py:61-98`: loop the eval datasets listed in
+the config through the evaluator; metrics append to
+``<output_dir>/eval_metrics.jsonl``.
+
+Usage:
+    python evaluate.py --config configs/eval.yaml [--checkpoint CKPT]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_eval_dataset(ds_cfg, model_cfg, tokenizer):
+    from mm_interleaved_tpu.data.collators import (
+        ImageTextPairCollator,
+        VQACollator,
+    )
+    from mm_interleaved_tpu.data.datasets import (
+        CocoCaptionDataset,
+        ImageTextJsonlDataset,
+        VQADataset,
+    )
+    from mm_interleaved_tpu.data.transforms import create_transform
+
+    enc_res = model_cfg.visual.encoder.vit.image_size
+    transform = create_transform(
+        aug_type=ds_cfg.get("transform", "numpy"), resolution=enc_res,
+    )
+    name = ds_cfg["type"]
+    mode = ds_cfg.get("collate_mode", "generate_texts")
+    if name == "coco_caption":
+        ds = CocoCaptionDataset(
+            ds_cfg["annt_file"], ds_cfg["data_root"], transform,
+            total_length=ds_cfg.get("total_length"),
+            phase=ds_cfg.get("phase", "test"),
+        )
+        coll = ImageTextPairCollator(
+            tokenizer, tokenizer.special,
+            num_img_token=model_cfg.num_img_token,
+            seq_len=ds_cfg.get("seq_len", 256), mode=mode,
+            instr_prompts=ds_cfg.get("instr_prompts"),
+        )
+    elif name == "vqa":
+        ds = VQADataset(
+            ds_cfg["questions_file"], ds_cfg.get("annotations_file"),
+            ds_cfg["data_root"], transform,
+            total_length=ds_cfg.get("total_length"),
+        )
+        coll = VQACollator(
+            tokenizer, tokenizer.special,
+            num_img_token=model_cfg.num_img_token,
+            seq_len=ds_cfg.get("seq_len", 320),
+            instr_prompts=ds_cfg.get("instr_prompts"),
+        )
+    elif name == "image_text_jsonl":
+        ds = ImageTextJsonlDataset(
+            ds_cfg["annt_file"], ds_cfg["data_root"], transform,
+            total_length=ds_cfg.get("total_length"),
+        )
+        coll = ImageTextPairCollator(
+            tokenizer, tokenizer.special,
+            num_img_token=model_cfg.num_img_token,
+            seq_len=ds_cfg.get("seq_len", 256), mode=mode,
+        )
+    else:
+        raise ValueError(name)
+    return ds, coll, mode
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--output_dir", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    from mm_interleaved_tpu.data.datasets import iterate_dataset
+    from mm_interleaved_tpu.data.tokenizer import load_tokenizer
+    from mm_interleaved_tpu.engine.evaluator import EvalConfig, Evaluator
+    from mm_interleaved_tpu.models.mm_interleaved import MMInterleaved
+    from mm_interleaved_tpu.utils.checkpoint import load_variables
+    from mm_interleaved_tpu.utils.config import build_model_config, load_config
+
+    cfg = load_config(args.config)
+    output_dir = args.output_dir or cfg.get("output_dir", "OUTPUT/eval")
+    model_cfg = build_model_config(cfg["model"])
+    model = MMInterleaved(model_cfg)
+    tokenizer = load_tokenizer(
+        cfg.get("data", {}).get("tokenizer_path"),
+        vocab_size=model_cfg.llm.vocab_size,
+    )
+    variables = load_variables(model, model_cfg, args.checkpoint)
+
+    ev_cfg = cfg.get("evaluation", {})
+    evaluator = Evaluator(
+        model, variables, tokenizer,
+        EvalConfig(
+            batch_size=ev_cfg.get("batch_size", 8),
+            max_new_tokens=ev_cfg.get("max_new_tokens", 30),
+            num_inference_steps=ev_cfg.get("num_inference_steps", 30),
+            guidance_scale=ev_cfg.get("guidance_scale", 3.5),
+            output_dir=output_dir,
+            max_batches=ev_cfg.get("max_batches"),
+        ),
+    )
+
+    for ds_cfg in cfg.get("data", {}).get("val", []):
+        ds, coll, mode = build_eval_dataset(ds_cfg, model_cfg, tokenizer)
+        batches = iterate_dataset(
+            ds, ev_cfg.get("batch_size", 8), coll,
+        )
+        name = ds_cfg.get("dataset_name", ds_cfg["type"])
+        if mode == "generate_texts":
+            result = evaluator.evaluate_caption(
+                batches, ds.references(), dataset_name=name
+            )
+        elif mode == "generate_vqa":
+            result = evaluator.evaluate_vqa(batches, dataset_name=name)
+        elif mode == "generate_images":
+            result = evaluator.evaluate_t2i(batches, dataset_name=name)
+        else:
+            raise ValueError(mode)
+        print(f"[{name}] {result}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Training data pipelines: document streams -> packed, collated batches.
+
+Re-design of the reference pipelines (`mmc4_wds.py:169-383`,
+`laion_wds.py:79-282`, `mix_dataset.py`): shard stream -> per-doc
+preprocessing (tokenize + image decode + interleave) -> packing buffer ->
+collation to static-shape batches, with `random_mix` across sources.
+
+A `synthetic` source generates random interleaved documents — the smoke-test
+/ benchmarking source when no data is mounted.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from .collators import InterleavedTrainCollator
+from .mix import RandomMixIterable
+from .packing import pack_sequences
+from .shards import ShardedStream, read_jsonl_shard, read_tar_shard
+from .tokenizer import SimpleWordTokenizer, image_subseq_ids, load_tokenizer
+from .transforms import DualImageTransform, ImageTransform
+
+
+def _doc_to_sample(
+    doc: Dict, tokenizer, special, transform, num_img_token: int,
+    img_first_prob: float, rng: np.random.RandomState,
+    sim_threshold: float = 0.24, max_imgs_per_doc: int = 6,
+):
+    """One interleaved document -> tokenized arrays.
+
+    Follows `preprocess_mmc4_data` (mmc4_wds.py:52-166): match images to
+    sentences by similarity, cap images per doc, image-before-text with
+    probability ``img_first_prob``.
+
+    Expected doc format: {"text_list": [...], "images": [{"image":
+    <bytes|array>, "sentence_idx": i, "sim": s}]} or the simpler
+    {"caption": ..., "image": ...} pair form (laion_wds.py:79-157).
+    """
+    from PIL import Image
+
+    img_block = image_subseq_ids(special, num_img_token)
+
+    def load_image(im):
+        if isinstance(im, tuple):  # pre-transformed (enc, dec) pair
+            return tuple(np.asarray(x, np.float32) for x in im)
+        if isinstance(im, (bytes, bytearray)):
+            arr = Image.open(io.BytesIO(im)).convert("RGB")
+            return transform(arr, rng)
+        return np.asarray(im, np.float32)
+
+    if "caption" in doc:  # pair form
+        img = load_image(doc["image"])
+        txt_ids = tokenizer.encode(doc["caption"])
+        img_first = rng.rand() < img_first_prob
+        ids = [special.bos_token_id]
+        ids += (img_block + txt_ids) if img_first else (txt_ids + img_block)
+        ids += [special.eos_token_id]
+        enc, dec = img if isinstance(img, tuple) else (img, None)
+        return dict(
+            text_ids=np.asarray(ids, np.int64),
+            text_attn_mask=np.ones(len(ids), np.int64),
+            image_tensors=np.asarray(enc)[None],
+            image_tensors_dec=(
+                np.asarray(dec)[None] if dec is not None else None
+            ),
+        )
+
+    # interleaved document form
+    sentences = doc["text_list"]
+    matches = [
+        m for m in doc.get("images", [])
+        if m.get("sim", 1.0) >= sim_threshold
+    ][:max_imgs_per_doc]
+    by_sentence: Dict[int, list] = {}
+    for m in matches:
+        by_sentence.setdefault(int(m.get("sentence_idx", 0)), []).append(m)
+
+    ids = [special.bos_token_id]
+    enc_imgs, dec_imgs = [], []
+    for si, sent in enumerate(sentences):
+        sent_ids = tokenizer.encode(sent)
+        blocks = []
+        for m in by_sentence.get(si, []):
+            img = load_image(m["image"])
+            enc, dec = img if isinstance(img, tuple) else (img, None)
+            enc_imgs.append(enc)
+            if dec is not None:
+                dec_imgs.append(dec)
+            blocks += img_block
+        if blocks and rng.rand() < img_first_prob:
+            ids += blocks + sent_ids
+        else:
+            ids += sent_ids + blocks
+    ids += [special.eos_token_id]
+    if not enc_imgs:
+        return None
+    return dict(
+        text_ids=np.asarray(ids, np.int64),
+        text_attn_mask=np.ones(len(ids), np.int64),
+        image_tensors=np.stack(enc_imgs),
+        image_tensors_dec=np.stack(dec_imgs) if dec_imgs else None,
+    )
+
+
+def synthetic_doc_stream(
+    tokenizer, special, enc_res: int, dec_res: Optional[int],
+    seed: int, vocab_hi: int = 30000,
+) -> Iterator[Dict]:
+    """Endless random interleaved docs (for smoke tests / data-free bench)."""
+    rng = np.random.RandomState(seed)
+    while True:
+        n_sent = rng.randint(1, 4)
+        n_img = rng.randint(1, 3)
+        doc = {
+            "text_list": [
+                " ".join(f"w{rng.randint(vocab_hi)}"
+                         for _ in range(rng.randint(4, 20)))
+                for _ in range(n_sent)
+            ],
+            "images": [
+                {
+                    "image": (
+                        rng.rand(enc_res, enc_res, 3).astype(np.float32)
+                        if dec_res is None else
+                        (rng.rand(enc_res, enc_res, 3).astype(np.float32),
+                         rng.rand(dec_res, dec_res, 3).astype(np.float32))
+                    ),
+                    "sentence_idx": int(rng.randint(n_sent)),
+                    "sim": 1.0,
+                }
+                for _ in range(n_img)
+            ],
+        }
+        yield doc
+
+
+def _load_synth_image(m):
+    return m
+
+
+def build_interleaved_source(
+    source_cfg: Dict, model_cfg, tokenizer, epoch_seed: int = 0,
+) -> Callable[[int], Iterator[Dict]]:
+    """Factory: epoch -> packed-row iterator for one source."""
+    special = tokenizer.special
+    enc_res = model_cfg.visual.encoder.vit.image_size
+    dec_res = (model_cfg.image_decoder.image_size
+               if model_cfg.image_decoder is not None else None)
+    num_img_token = model_cfg.num_img_token
+    kind = source_cfg.get("name", "synthetic")
+    transform = (
+        DualImageTransform(enc_res, dec_res, random_flip=True)
+        if dec_res else ImageTransform(enc_res, random_flip=True)
+    )
+
+    def docs_for_epoch(epoch: int) -> Iterator[Dict]:
+        rng = np.random.RandomState(epoch_seed + epoch)
+        if kind == "synthetic":
+            it = synthetic_doc_stream(
+                tokenizer, special, enc_res, dec_res, epoch_seed + epoch
+            )
+            n = source_cfg.get("num_samples", 64)
+            for _, doc in zip(range(n), it):
+                s = _doc_to_sample(
+                    doc, tokenizer, special, lambda a, r=None: a,
+                    num_img_token,
+                    source_cfg.get("img_first_prob", 0.5), rng,
+                )
+                if s is not None:
+                    yield s
+        else:
+            reader = (read_tar_shard if kind.endswith("tar")
+                      else read_jsonl_shard)
+            stream = ShardedStream(
+                shard_pattern=source_cfg["input_shards"],
+                shard_reader=reader,
+                seed=source_cfg.get("seed", 0),
+                host_id=source_cfg.get("host_id", 0),
+                num_hosts=source_cfg.get("num_hosts", 1),
+                sample_buffer=source_cfg.get("sample_buffer", 1000),
+            )
+            for doc in stream.iterate(epoch):
+                s = _doc_to_sample(
+                    doc, tokenizer, special, transform, num_img_token,
+                    source_cfg.get("img_first_prob", 0.5), rng,
+                    sim_threshold=source_cfg.get("sim_threshold", 0.24),
+                    max_imgs_per_doc=source_cfg.get("max_imgs_per_doc", 6),
+                )
+                if s is not None:
+                    yield s
+
+    def packed_for_epoch(epoch: int) -> Iterator[Dict]:
+        return pack_sequences(
+            docs_for_epoch(epoch),
+            special,
+            num_total_token=model_cfg.seq_len,
+            num_img_token=num_img_token,
+            max_num_images=model_cfg.max_num_images,
+            truncation_level=source_cfg.get("truncation_level", "image"),
+        )
+
+    return packed_for_epoch
+
+
+def build_train_iterator(
+    data_cfg: Dict, model_cfg,
+) -> Tuple[Iterator[Dict], Dict]:
+    """(endless batch iterator, example batch) for the Trainer."""
+    tokenizer = load_tokenizer(
+        data_cfg.get("tokenizer_path"),
+        vocab_size=model_cfg.llm.vocab_size,
+    )
+    sources = data_cfg.get("datasets", [{"name": "synthetic"}])
+    factories = [
+        build_interleaved_source(s, model_cfg, tokenizer,
+                                 epoch_seed=data_cfg.get("seed", 0))
+        for s in sources
+    ]
+    mix = RandomMixIterable(
+        factories,
+        probs=data_cfg.get("probs"),
+        sampling_type=data_cfg.get("sampling_type", "longest"),
+        seed=data_cfg.get("seed", 0),
+    )
+    collator = InterleavedTrainCollator(
+        tokenizer.special,
+        seq_len=model_cfg.seq_len,
+        max_num_images=model_cfg.max_num_images,
+        has_dec_images=model_cfg.image_decoder is not None,
+    )
+    batch_size = data_cfg.get("per_device_batch_size", 2)
+
+    def batches() -> Iterator[Dict]:
+        epoch = 0
+        while True:
+            mix.set_epoch(epoch)
+            buf = []
+            for row in mix:
+                buf.append(row)
+                if len(buf) == batch_size:
+                    yield collator(buf)
+                    buf = []
+            epoch += 1
+
+    it = batches()
+    first = next(it)
+
+    def chained():
+        yield first
+        yield from it
+
+    return chained(), first

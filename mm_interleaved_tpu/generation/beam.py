@@ -1,0 +1,184 @@
+"""Beam search over the cascaded LLM + TextDecoder, KV-cache native.
+
+Re-design of the reference's patched HF beam search
+(`monkey_patch/beam_search_monkey_patch.py:17-354`) + cascade wrapper: a
+t5x-style fixed-shape beam search —
+
+  * 2K candidates per step, finished hypotheses collected separately with
+    length penalty ``score / ((5 + len) / 6) ** alpha`` (HF convention:
+    ``score / len ** alpha``; we use the plain HF form);
+  * multi-eos (<eos> or <soi>, mm_interleaved.py:649-654);
+  * beam reorder = gather on the preallocated cache
+    (the `_reorder_cache` analogue, modeling_llama_mmfs.py:912-917);
+  * returns only the newly generated tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.llama import KVCache
+from .text import TextGenerationConfig
+
+NEG_INF = -1.0e7
+
+
+def _tile_beams(x, K):
+    """[B, ...] -> [B*K, ...] (repeat each row K times)."""
+    return jnp.repeat(x, K, axis=0)
+
+
+def _length_penalty(length, alpha: float):
+    return jnp.power(length.astype(jnp.float32), alpha)
+
+
+def beam_search(
+    model,
+    variables,
+    mm_embeds: jax.Array,  # [B, L, C]
+    attention_mask: jax.Array,  # [B, L]
+    mmfs_values: Optional[jax.Array],
+    cross_attention_mask: Optional[jax.Array],
+    cfg: TextGenerationConfig,
+) -> jax.Array:
+    """Returns the best hypothesis' new tokens: [B, max_new_tokens]."""
+    B, L, _ = mm_embeds.shape
+    K = cfg.num_beams
+    T = cfg.max_new_tokens
+    vocab = model.cfg.llm.vocab_size
+    eos = jnp.asarray(cfg.eos_token_ids)
+    alpha = cfg.length_penalty
+
+    # ---- prefill on B rows, then tile the cache to B*K
+    cache = KVCache.create(model.cfg.llm, B, L + T)
+    logits, _, cache = model.apply(
+        variables, mm_embeds, attention_mask, mmfs_values,
+        cross_attention_mask, cache, method=model.lm_prefill,
+    )
+    first_logp = jax.nn.log_softmax(
+        logits[:, -1].astype(jnp.float32), axis=-1
+    )  # [B, V]
+
+    cache = KVCache(
+        k=_tile_beams(cache.k.swapaxes(0, 1), K).swapaxes(0, 1),
+        v=_tile_beams(cache.v.swapaxes(0, 1), K).swapaxes(0, 1),
+        valid=_tile_beams(cache.valid, K),
+        length=cache.length,
+    )
+    mmfs_b = (_tile_beams(mmfs_values, K)
+              if mmfs_values is not None else None)
+    xmask_b = (
+        _tile_beams(cross_attention_mask[:, -1:, :], K)
+        if cross_attention_mask is not None else None
+    )
+
+    def mask_eos(logp, step):
+        if cfg.min_new_tokens <= 0:
+            return logp
+        eos_mask = jnp.zeros((vocab,), bool).at[eos].set(True)
+        return jnp.where(
+            (step < cfg.min_new_tokens) & eos_mask[None, :], NEG_INF, logp
+        )
+
+    # ---- step 0: top-K tokens of the first distribution seed the beams
+    lp0 = mask_eos(first_logp, 0)
+    scores0, tok0 = jax.lax.top_k(lp0, K)  # [B, K]
+    live_ids = jnp.full((B, K, T), cfg.pad_token_id, jnp.int32)
+    live_ids = live_ids.at[:, :, 0].set(tok0)
+    live_scores = scores0
+    is_eos0 = jnp.isin(tok0, eos)
+    fin_ids = jnp.where(
+        is_eos0[:, :, None],
+        live_ids,
+        jnp.full_like(live_ids, cfg.pad_token_id),
+    )
+    fin_scores = jnp.where(
+        is_eos0, scores0 / _length_penalty(jnp.asarray(1), alpha), NEG_INF
+    )
+    live_scores = jnp.where(is_eos0, NEG_INF, live_scores)
+
+    def body(carry, step):
+        live_ids, live_scores, fin_ids, fin_scores, cache = carry
+        last = jax.lax.dynamic_index_in_dim(
+            live_ids, step - 1, axis=2, keepdims=False
+        )  # [B, K]
+        step_logits, new_cache = model.apply(
+            variables,
+            last.reshape(B * K, 1),
+            jnp.ones((B * K, 1), jnp.int32),
+            mmfs_b,
+            xmask_b,
+            cache,
+            method=model.lm_decode_step,
+        )
+        logp = jax.nn.log_softmax(
+            step_logits[:, 0].astype(jnp.float32), axis=-1
+        ).reshape(B, K, vocab)
+        logp = mask_eos(logp.reshape(B * K, vocab), step).reshape(B, K, vocab)
+
+        cand = live_scores[:, :, None] + logp  # [B, K, V]
+        cand_flat = cand.reshape(B, K * vocab)
+        top_scores, top_idx = jax.lax.top_k(cand_flat, 2 * K)  # [B, 2K]
+        parent = top_idx // vocab
+        token = top_idx % vocab
+        is_eos = jnp.isin(token, eos)
+
+        # gather parent prefixes
+        def gather_rows(ids, parent):
+            return jnp.take_along_axis(
+                ids, parent[:, :, None], axis=1
+            )
+
+        cand_ids = gather_rows(live_ids, parent)  # [B, 2K, T]
+        cand_ids = cand_ids.at[:, :, step].set(token)
+
+        # --- finished pool update
+        new_fin_scores = jnp.where(
+            is_eos,
+            top_scores / _length_penalty(jnp.asarray(step + 1), alpha),
+            NEG_INF,
+        )
+        all_fin_scores = jnp.concatenate([fin_scores, new_fin_scores], axis=1)
+        all_fin_ids = jnp.concatenate([fin_ids, cand_ids], axis=1)
+        fin_scores2, fin_sel = jax.lax.top_k(all_fin_scores, K)
+        fin_ids2 = jnp.take_along_axis(
+            all_fin_ids, fin_sel[:, :, None], axis=1
+        )
+
+        # --- live beams: best K non-eos candidates
+        live_cand_scores = jnp.where(is_eos, NEG_INF, top_scores)
+        live_scores2, live_sel = jax.lax.top_k(live_cand_scores, K)
+        live_ids2 = jnp.take_along_axis(
+            cand_ids, live_sel[:, :, None], axis=1
+        )
+        live_parent = jnp.take_along_axis(parent, live_sel, axis=1)  # [B, K]
+
+        # --- cache reorder to follow the selected parents
+        flat_parent = (
+            jnp.arange(B)[:, None] * K + live_parent
+        ).reshape(-1)
+        cache2 = new_cache.reorder(flat_parent)
+
+        return (live_ids2, live_scores2, fin_ids2, fin_scores2, cache2), None
+
+    carry = (live_ids, live_scores, fin_ids, fin_scores, cache)
+    (live_ids, live_scores, fin_ids, fin_scores, _), _ = jax.lax.scan(
+        body, carry, jnp.arange(1, T)
+    )
+
+    # prefer finished hypotheses; fall back to best live beam
+    live_final = live_scores / _length_penalty(jnp.asarray(T), alpha)
+    use_fin = fin_scores[:, 0] > NEG_INF / 2
+    best_fin = fin_ids[:, 0]
+    best_live = jnp.take_along_axis(
+        live_ids, jnp.argmax(live_final, axis=1)[:, None, None], axis=1
+    )[:, 0]
+    out = jnp.where(use_fin[:, None], best_fin, best_live)
+
+    # pad everything after the first eos (keep the eos itself)
+    hit = jnp.isin(out, eos)
+    after = jnp.cumsum(hit, axis=1) - hit.astype(jnp.int32) > 0
+    return jnp.where(after, cfg.pad_token_id, out)

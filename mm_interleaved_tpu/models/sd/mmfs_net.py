@@ -1,0 +1,117 @@
+"""UNet-side MMFS: deformable readout of previous-image ViT pyramids,
+injected as additive residuals into every UNet down-block residual and the
+mid-block sample.
+
+Re-design of the reference `decoders/sd_mmfs.py` (MMFSBlock :44-151, MMFSNet
+:154-272) — but built directly into our native UNet instead of a monkey-patched
+diffusers forward (`monkey_patch/sd_unet_forward_monkey_patch.py:318-325`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from einops import rearrange
+
+from ...ops.pos_embed import get_2d_sincos_pos_embed, resize_abs_pos_embed
+from ..deform_attn import grid_reference_points
+from ..mmfs import MMFS
+
+
+@dataclasses.dataclass(frozen=True)
+class MMFSNetConfig:
+    input_channel: int = 1024  # ViT pyramid channel dim
+    attn_dim: int = 1024
+    n_heads: int = 16
+    n_points: int = 8
+    # per-image ViT pyramid level resolutions (c1..c4 for a 224px encoder)
+    feat_spatial_shapes: Tuple[int, ...] = (64, 32, 16, 8)
+    max_num_image_per_seq: int = 10
+    pos_grid_size: int = 64  # latent resolution the pos table is built for
+
+
+class MMFSBlock(nn.Module):
+    """One deformable readout: query = a UNet feature map (+2D sin-cos pos),
+    output zero-init 1x1-conv'd back to the query width
+    (reference sd_mmfs.py:44-151)."""
+
+    cfg: MMFSNetConfig
+    query_dim: int
+    base_spatial_shape: int
+
+    @nn.compact
+    def __call__(self, sample, mmfs_values, mmfs_mask):
+        """sample: [B, H, W, Cq]; mmfs_values: [B, n_img, sum(hw), Cv];
+        mmfs_mask: [B, n_img]."""
+        c = self.cfg
+        B, H, W, Cq = sample.shape
+
+        q = rearrange(sample, "b h w c -> b (h w) c")
+        q = nn.LayerNorm(epsilon=1e-6, name="query_norm")(q)
+        table = jnp.asarray(
+            get_2d_sincos_pos_embed(Cq, c.pos_grid_size, cls_token=False)
+        )
+        pe = resize_abs_pos_embed(table, c.pos_grid_size, H)
+        q = q + pe[None].astype(q.dtype)
+
+        feats = nn.LayerNorm(epsilon=1e-6, name="feat_norm")(mmfs_values)
+
+        ref = jnp.asarray(grid_reference_points(((H, W),)))[None]
+        ref = jnp.broadcast_to(ref, (B, H * W, 2))
+
+        out = MMFS(
+            d_model=c.attn_dim,
+            d_query=Cq,
+            d_value=c.input_channel,
+            d_out=Cq,
+            n_heads=c.n_heads,
+            n_points=c.n_points,
+            ratio=1.0,
+            offset_init_magnitude=1.0,
+            level_shapes=tuple((s, s) for s in c.feat_spatial_shapes),
+            base_spatial_shape=self.base_spatial_shape,
+            max_num_image_per_seq=c.max_num_image_per_seq,
+            dtype=sample.dtype,
+            name="mmfs",
+        )(q, feats, mmfs_mask, reference_points=ref)
+
+        out = rearrange(out, "b (h w) c -> b h w c", h=H)
+        out = nn.Conv(
+            Cq, (1, 1),
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="conv",
+        )(out)
+        return out
+
+
+class MMFSNet(nn.Module):
+    """One MMFSBlock per UNet down-block residual + one for the mid sample
+    (reference sd_mmfs.py:154-272)."""
+
+    cfg: MMFSNetConfig
+    residual_channels: Tuple[int, ...]  # channel of each down residual
+    residual_sizes: Tuple[int, ...]  # spatial size of each down residual
+    mid_channel: int
+    mid_size: int
+
+    @nn.compact
+    def __call__(self, sample, down_block_res_samples, mmfs_values, mmfs_mask):
+        assert len(down_block_res_samples) == len(self.residual_channels)
+        new_res = []
+        for i, res in enumerate(down_block_res_samples):
+            delta = MMFSBlock(
+                self.cfg,
+                self.residual_channels[i],
+                self.residual_sizes[i],
+                name=f"down_blocks_{i}",
+            )(res, mmfs_values, mmfs_mask)
+            new_res.append(res + delta)
+        delta = MMFSBlock(
+            self.cfg, self.mid_channel, self.mid_size, name="mid_block"
+        )(sample, mmfs_values, mmfs_mask)
+        return sample + delta, tuple(new_res)

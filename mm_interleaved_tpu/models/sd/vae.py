@@ -1,0 +1,153 @@
+"""AutoencoderKL — the SD latent VAE, native flax (NHWC).
+
+Replaces diffusers' `AutoencoderKL` used by the reference
+(`decoders/sd.py:52-58`, fp32 encode at `:220-238`, fp32 decode at
+`:212-215`).  The VAE always computes in fp32 (an explicit "fp32 island" in
+the bf16 world — matches the reference's `.float()` casts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215
+
+
+def _gn(groups, name=None):
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name)
+
+
+class ResnetBlock(nn.Module):
+    out_ch: int
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        h = _gn(min(self.groups, in_ch), "norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv1")(h)
+        h = _gn(min(self.groups, self.out_ch), "norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv2")(h)
+        if in_ch != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), name="conv_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = _gn(min(self.groups, C), "group_norm")(x).reshape(B, H * W, C)
+        q = nn.Dense(C, name="to_q")(h)
+        k = nn.Dense(C, name="to_k")(h)
+        v = nn.Dense(C, name="to_v")(h)
+        attn = jax.nn.softmax(
+            jnp.einsum("bqc,bkc->bqk", q, k,
+                       preferred_element_type=jnp.float32) * (C ** -0.5),
+            axis=-1,
+        )
+        h = jnp.einsum("bqk,bkc->bqc", attn.astype(v.dtype), v)
+        h = nn.Dense(C, name="to_out")(h).reshape(B, H, W, C)
+        return x + h
+
+
+class Encoder(nn.Module):
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h = nn.Conv(c.block_out_channels[0], (3, 3), padding=1,
+                    name="conv_in")(x)
+        for i, ch in enumerate(c.block_out_channels):
+            for j in range(c.layers_per_block):
+                h = ResnetBlock(ch, c.norm_num_groups,
+                                name=f"down_{i}_res_{j}")(h)
+            if i != len(c.block_out_channels) - 1:
+                h = nn.Conv(ch, (3, 3), strides=(2, 2),
+                            padding=((0, 1), (0, 1)),
+                            name=f"down_{i}_downsample")(h)
+        ch = c.block_out_channels[-1]
+        h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_0")(h)
+        h = AttnBlock(c.norm_num_groups, name="mid_attn")(h)
+        h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_1")(h)
+        h = _gn(c.norm_num_groups, "conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(2 * c.latent_channels, (3, 3), padding=1,
+                       name="conv_out")(h)
+
+
+class Decoder(nn.Module):
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, z):
+        c = self.cfg
+        ch = c.block_out_channels[-1]
+        h = nn.Conv(ch, (3, 3), padding=1, name="conv_in")(z)
+        h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_0")(h)
+        h = AttnBlock(c.norm_num_groups, name="mid_attn")(h)
+        h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_1")(h)
+        for i, ch in enumerate(reversed(c.block_out_channels)):
+            for j in range(c.layers_per_block + 1):
+                h = ResnetBlock(ch, c.norm_num_groups,
+                                name=f"up_{i}_res_{j}")(h)
+            if i != len(c.block_out_channels) - 1:
+                B, H, W, C = h.shape
+                h = jax.image.resize(h, (B, 2 * H, 2 * W, C), "nearest")
+                h = nn.Conv(C, (3, 3), padding=1,
+                            name=f"up_{i}_upsample")(h)
+        h = _gn(c.norm_num_groups, "conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(c.out_channels, (3, 3), padding=1, name="conv_out")(h)
+
+
+class AutoencoderKL(nn.Module):
+    cfg: VAEConfig
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg)
+        self.decoder = Decoder(self.cfg)
+        self.quant_conv = nn.Conv(2 * self.cfg.latent_channels, (1, 1))
+        self.post_quant_conv = nn.Conv(self.cfg.latent_channels, (1, 1))
+
+    def encode(self, x: jax.Array, rng=None, sample: bool = True):
+        """x in [-1, 1] NHWC fp32 -> latents scaled by scaling_factor."""
+        x = x.astype(jnp.float32)
+        moments = self.quant_conv(self.encoder(x))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        if sample:
+            assert rng is not None
+            logvar = jnp.clip(logvar, -30.0, 20.0)
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mean.shape, mean.dtype
+            )
+        else:
+            z = mean
+        return z * self.cfg.scaling_factor
+
+    def decode(self, z: jax.Array):
+        z = z.astype(jnp.float32) / self.cfg.scaling_factor
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, x, rng=None):
+        z = self.encode(x, rng=rng, sample=rng is not None)
+        return self.decode(z)

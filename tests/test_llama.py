@@ -36,7 +36,7 @@ def make_model_and_inputs(seed=0, B=2, T=10, n_img=2, with_vision=True):
         hw = sum(s * s for s in TINY.spatial_shapes)
         vis = jnp.array(rng.randn(B, n_img, hw, TINY.image_embed_dim).astype(np.float32))
         xmask = jnp.ones((B, T, n_img), jnp.int32)
-    params = model.init(jax.random.PRNGKey(0), embeds, mask, vis, xmask)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), embeds, mask, vis, xmask)
     return model, params, embeds, mask, vis, xmask
 
 

@@ -1,0 +1,69 @@
+import numpy as np
+
+from mm_interleaved_tpu.utils.metrics import (
+    bleu,
+    box_iou,
+    cider_d,
+    grounding_accuracy,
+    mean_iou,
+    ndcg,
+    normalize_vqa_answer,
+    parse_box_string,
+    scores_to_ranks,
+    vqa_accuracy,
+)
+
+
+def test_bleu_perfect_and_zero():
+    assert bleu(["the cat sat on the mat"],
+                [["the cat sat on the mat"]]) == 1.0
+    assert bleu(["xyz abc"], [["the cat sat on the mat"]]) == 0.0
+    # partial overlap strictly between 0 and 1
+    s = bleu(["the cat sat on a mat today ok"],
+             [["the cat sat on the mat today ok"]])
+    assert 0.0 < s < 1.0
+
+
+def test_cider_identical_beats_different():
+    cands = ["a brown dog", "a red car", "the blue sky", "a big house"]
+    refs = [["a brown dog"], ["a red car"], ["the blue sky"], ["a big house"]]
+    perfect = cider_d(cands, refs)
+    off = cider_d(["something else entirely"] * 4, refs)
+    assert perfect > 5.0  # near 10 for exact matches
+    assert off < 0.5
+
+
+def test_vqa_accuracy():
+    assert vqa_accuracy("2", ["two", "2", "2", "2", "2", "2", "2", "2",
+                              "2", "2"]) == 1.0
+    assert vqa_accuracy("cat", ["dog"] * 10) == 0.0
+    # 3 of 10 annotators agree -> leave-one-out accuracy < 1
+    a = vqa_accuracy("cat", ["cat"] * 3 + ["dog"] * 7)
+    assert 0.0 < a < 1.0
+    assert normalize_vqa_answer("The  DOG!") == "dog"
+    assert normalize_vqa_answer("one") == "1"
+
+
+def test_ndcg_perfect_ranking():
+    scores = np.array([[4.0, 3.0, 2.0, 1.0]])
+    rel = np.array([[1.0, 1.0, 0.0, 0.0]])
+    assert abs(ndcg(scores, rel) - 1.0) < 1e-9
+    # inverted ranking is worse
+    assert ndcg(-scores, rel) < 1.0
+    r = scores_to_ranks(scores)
+    np.testing.assert_array_equal(r[0], [1, 2, 3, 4])
+
+
+def test_boxes():
+    assert box_iou([0, 0, 1, 1], [0, 0, 1, 1]) == 1.0
+    assert box_iou([0, 0, 1, 1], [2, 2, 3, 3]) == 0.0
+    assert grounding_accuracy([[0, 0, 1, 1]], [[0, 0, 1, 0.9]]) == 1.0
+    boxes = parse_box_string("<ref>dog</ref><box>(100,200)(300,400)</box>")
+    np.testing.assert_allclose(boxes, [[0.1, 0.2, 0.3, 0.4]])
+
+
+def test_mean_iou():
+    pred = np.array([[0, 0, 1, 1]])
+    gt = np.array([[0, 1, 1, 255]])
+    # class0: inter 1 union 2 -> 0.5 ; class1: inter 1 union 2 -> 0.5
+    assert abs(mean_iou(pred, gt, num_classes=2) - 0.5) < 1e-9

@@ -34,7 +34,7 @@ def init_inputs(seed=0, B=2, Lq=6, n_img=3):
 def test_shapes_and_grad():
     m = make_mmfs()
     q, f, mask = init_inputs()
-    params = m.init(jax.random.PRNGKey(0), q, f, mask)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), q, f, mask)
     out = m.apply(params, q, f, mask)
     assert out.shape == (2, 6, 24)
     assert np.isfinite(np.asarray(out)).all()
@@ -54,7 +54,7 @@ def test_masked_images_do_not_leak():
     """Garbage features behind the mask must not change the output."""
     m = make_mmfs()
     q, f, mask = init_inputs(n_img=3)
-    params = m.init(jax.random.PRNGKey(0), q, f, mask)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), q, f, mask)
 
     mask = mask.at[:, :, 2].set(0)
     out1 = m.apply(params, q, f, mask)
@@ -67,7 +67,7 @@ def test_2d_mask_equals_broadcast_3d():
     m = make_mmfs()
     q, f, _ = init_inputs()
     mask2 = jnp.array([[1, 1, 0], [1, 0, 0]], dtype=jnp.int32)
-    params = m.init(jax.random.PRNGKey(0), q, f, mask2)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), q, f, mask2)
     out2d = m.apply(params, q, f, mask2)
     mask3 = jnp.broadcast_to(mask2[:, None, :], (2, 6, 3))
     out3d = m.apply(params, q, f, mask3)
@@ -79,7 +79,7 @@ def test_ignore_slot_dominates_when_all_masked():
     so the output is just the output_proj bias."""
     m = make_mmfs()
     q, f, mask = init_inputs()
-    params = m.init(jax.random.PRNGKey(0), q, f, mask)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), q, f, mask)
     out = m.apply(params, q, f, jnp.zeros_like(mask))
     bias = np.asarray(params["params"]["output_proj"]["bias"])
     np.testing.assert_allclose(
@@ -94,7 +94,7 @@ def test_reference_points_grid():
     ref = jnp.array(
         [[[0.1, 0.1], [0.9, 0.1], [0.1, 0.9], [0.9, 0.9]]], dtype=jnp.float32
     )
-    params = m.init(jax.random.PRNGKey(0), q, f, mask)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), q, f, mask)
     out_center = m.apply(params, q, f, mask)
     out_grid = m.apply(params, q, f, mask, reference_points=ref)
     assert out_grid.shape == out_center.shape

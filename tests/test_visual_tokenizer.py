@@ -37,7 +37,7 @@ TINY_PERCEIVER = PerceiverConfig(
 def test_adapter_pyramid_shapes():
     m = CLIPViTAdapter(TINY_ADAPTER)
     x = jnp.array(np.random.RandomState(0).rand(2, 56, 56, 3).astype(np.float32))
-    params = m.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
     last, pyr = m.apply(params, x)
     g = TINY_VIT.grid_size
     assert last.shape == (2, g * g + 1, 32)
@@ -54,7 +54,7 @@ def test_adapter_pyramid_shapes():
 def test_perceiver_resampler():
     m = PerceiverResampler(TINY_PERCEIVER)
     enc = jnp.array(np.random.RandomState(0).randn(3, 10, 32).astype(np.float32))
-    params = m.init(jax.random.PRNGKey(0), enc)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), enc)
     out = m.apply(params, enc)
     assert out.shape == (3, 6, 16)
     # encoder mask: masking padding must not change output given same content
@@ -72,7 +72,7 @@ def test_visual_tokenizer_end_to_end():
     )
     m = VisualTokenizer(cfg)
     x = jnp.array(np.random.RandomState(0).rand(2, 56, 56, 3).astype(np.float32))
-    params = m.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
     out = m.apply(params, x)
     assert out["vis_embed"].shape == (2, 6, 24)
     g = TINY_VIT.grid_size
