@@ -321,6 +321,9 @@ class LlamaModel(nn.Module):
     ):
         cfg = self.config
         B, T, _ = inputs_embeds.shape
+        if self.is_initializing():
+            # materialise embed_tokens even when called with inputs_embeds
+            self.embed_tokens(jnp.zeros((1, 1), jnp.int32))
         if attention_mask is None:
             attention_mask = jnp.ones((B, T), jnp.int32)
 
