@@ -167,6 +167,103 @@ class Evaluator:
         self._sink(dataset_name, result)
         return result
 
+    def evaluate_ranking(self, batches, dataset_name: str = "visdial"
+                         ) -> Dict[str, float]:
+        """Option-ranking eval -> NDCG (reference _inner_ranking_loop,
+        lmm_trainer.py:1812-1912)."""
+        from ..generation.scores import generate_scores
+
+        all_scores, all_rel = [], []
+        for bi, batch in enumerate(batches):
+            if self.cfg.max_batches and bi >= self.cfg.max_batches:
+                break
+            scores = generate_scores(
+                self.model, self.variables,
+                batch["text_ids"], batch["options_ids"],
+                batch["options_mask"], batch["image_tensors"],
+                batch["num_image_per_seq"], batch["attention_mask"],
+            )
+            all_scores.append(scores)
+            all_rel.append(np.asarray(batch["relevance"]))
+        scores = np.concatenate(all_scores)
+        rel = np.concatenate(all_rel)
+        result = {"ndcg": M.ndcg(scores, rel), "num_samples": len(scores)}
+        self._sink(dataset_name, result)
+        return result
+
+    def evaluate_storytelling(self, batches, dataset_name: str = "vist"
+                              ) -> Dict[str, float]:
+        """Autoregressive image-sequence generation: each generated frame is
+        re-encoded as context for the next (reference
+        _inner_generation_loop_v2, lmm_trainer.py:1605-1810).
+
+        Batches carry ``target_image_slots`` [B, n_targets] (indices into the
+        padded image axis, -1 = none); frames generate in slot order.
+        """
+        import jax.numpy as jnp
+        from PIL import Image as PILImage
+
+        out_dir = None
+        if self.cfg.output_dir:
+            out_dir = os.path.join(self.cfg.output_dir, dataset_name)
+            os.makedirs(out_dir, exist_ok=True)
+        rng = jax.random.PRNGKey(0)
+        n = 0
+        enc_res = self.model.cfg.visual.encoder.vit.image_size
+        for bi, batch in enumerate(batches):
+            if self.cfg.max_batches and bi >= self.cfg.max_batches:
+                break
+            image_tensors = batch["image_tensors"]
+            targets = np.asarray(batch["target_image_slots"])
+            n_rounds = targets.shape[1]
+            B = image_tensors.shape[0]
+            max_img = image_tensors.shape[1]
+            for r in range(n_rounds):
+                slot = targets[:, r]
+                if (slot < 0).all():
+                    continue
+                ctx, ctx_mask, mmfs_vals, mmfs_mask = self.model.apply(
+                    self.variables, batch["text_ids"], image_tensors,
+                    batch["num_image_per_seq"], batch["attention_mask"],
+                    method=self.model.generate_image_inputs,
+                )
+                flat = np.arange(B) * max_img + np.maximum(slot, 0)
+                rng, rr = jax.random.split(rng)
+                imgs = generate_images(
+                    self.model, self.variables, ctx[flat], ctx_mask[flat],
+                    rr, mmfs_values=mmfs_vals[flat],
+                    mmfs_mask=mmfs_mask[flat],
+                    num_inference_steps=self.cfg.num_inference_steps,
+                    guidance_scale=self.cfg.guidance_scale,
+                )
+                arr = np.asarray(imgs)
+                # feed generated frames back as encoder inputs
+                # (reference lmm_trainer.py:1683-1703)
+                resized = np.stack([
+                    np.asarray(
+                        PILImage.fromarray(
+                            (a * 255).astype(np.uint8)
+                        ).resize((enc_res, enc_res))
+                    , np.float32) / 255.0
+                    for a in arr
+                ])
+                image_tensors = np.asarray(image_tensors)
+                for b in range(B):
+                    if slot[b] >= 0:
+                        image_tensors[b, slot[b]] = resized[b]
+                        if out_dir is not None:
+                            idx = batch["meta"][b][0]
+                            PILImage.fromarray(
+                                (arr[b] * 255).astype(np.uint8)
+                            ).save(os.path.join(
+                                out_dir, f"{idx}_round{r}.png"
+                            ))
+                            n += 1
+                image_tensors = jnp.asarray(image_tensors)
+        result = {"num_generated": n, "image_dir": out_dir or ""}
+        self._sink(dataset_name, result)
+        return result
+
     # ------------------------------------------------------------------ #
 
     def _sink(self, dataset_name: str, result: Dict):
