@@ -104,7 +104,7 @@ def small_config(dtype: str = "bfloat16", with_image_decoder: bool = True,
     adapter = ViTAdapterConfig(vit=vit, conv_inplane=32)
     llm = LlamaConfig(
         vocab_size=32002, hidden_size=512, intermediate_size=1536,
-        num_hidden_layers=8, num_attention_heads=8,
+        num_hidden_layers=8, num_attention_heads=4,  # head_dim 128 -> Pallas
         max_position_embeddings=seq_len, cross_attention_frequency=4,
         image_embed_dim=256, spatial_shapes=(32, 16, 8),
         mmfs_heads=8, mmfs_points=8, max_num_image_per_seq=50,

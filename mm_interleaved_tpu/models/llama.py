@@ -151,9 +151,11 @@ class LlamaAttention(nn.Module):
         self,
         x: jax.Array,  # [B, T, C]
         positions: jax.Array,  # [B, T] absolute positions for RoPE
-        attn_mask: jax.Array,  # [B, 1, T, Tk] bool, True = attend
+        attn_mask: Optional[jax.Array],  # [B, 1, T, Tk] bool, True = attend
         cache_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
         cache_length: Optional[jax.Array] = None,
+        causal: bool = False,
+        segment_ids: Optional[jax.Array] = None,  # [B, T] (no-cache path)
     ):
         cfg = self.config
         dtype = cfg.compute_dtype
@@ -188,7 +190,10 @@ class LlamaAttention(nn.Module):
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
 
-        out = dot_product_attention(q, k, v, mask=attn_mask)
+        out = dot_product_attention(
+            q, k, v, mask=attn_mask, causal=causal,
+            q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+        )
         out = out.reshape(B, T, n_q * hd)
         out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=dtype,
                        name="o_proj")(out)
@@ -248,12 +253,15 @@ class LlamaDecoderLayer(nn.Module):
         cross_attention_mask=None,
         cache_kv=None,
         cache_length=None,
+        causal=False,
+        segment_ids=None,
     ):
         cfg = self.config
         residual = x
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="input_layernorm")(x)
         h, new_kv = LlamaAttention(cfg, self.layer_idx, name="self_attn")(
-            h, positions, attn_mask, cache_kv, cache_length
+            h, positions, attn_mask, cache_kv, cache_length,
+            causal=causal, segment_ids=segment_ids,
         )
         x = residual + h
 
@@ -298,8 +306,10 @@ class LlamaModel(nn.Module):
         )
         layer_cls = LlamaDecoderLayer
         if cfg.remat:
+            # `causal` is a python bool -> static under remat (index 8
+            # because flax's lifted remat counts the module itself as arg 0)
             layer_cls = nn.remat(
-                LlamaDecoderLayer, static_argnums=(), prevent_cse=False
+                LlamaDecoderLayer, static_argnums=(8,), prevent_cse=False
             )
         self.layers = [
             layer_cls(cfg, i, name=f"layers_{i}")
@@ -330,11 +340,11 @@ class LlamaModel(nn.Module):
         if cache is None:
             if positions is None:
                 positions = _build_positions(attention_mask)
-            qi = jnp.arange(T)[:, None]
-            ki = jnp.arange(T)[None, :]
-            causal = ki <= qi  # [T, Tk]
-            key_valid = attention_mask.astype(bool)[:, None, None, :]
-            attn_mask = causal[None, None] & key_valid
+            # causal + padding via segment ids — keeps the Pallas flash path
+            # eligible on the training/scoring hot path
+            attn_mask = None
+            segment_ids = attention_mask.astype(jnp.int32)
+            causal = True
             cache_length = None
         else:
             max_len = cache.k.shape[2]
@@ -346,8 +356,10 @@ class LlamaModel(nn.Module):
             )
             slot = jnp.arange(max_len)[None, None, :]  # [1, 1, max_len]
             qi = cache.length + jnp.arange(T)[None, :, None]  # [1, T, 1]
-            causal = slot <= qi  # [1, T, max_len]
-            attn_mask = causal[:, None] & new_valid[:, None, None, :]
+            causal_m = slot <= qi  # [1, T, max_len]
+            attn_mask = causal_m[:, None] & new_valid[:, None, None, :]
+            segment_ids = None
+            causal = False
             cache_length = cache.length
 
         h = inputs_embeds.astype(cfg.compute_dtype)
@@ -360,10 +372,12 @@ class LlamaModel(nn.Module):
                 h,
                 positions,
                 attn_mask,
-                vision_hidden_states=vision_hidden_states,
-                cross_attention_mask=cross_attention_mask,
-                cache_kv=cache_kv,
-                cache_length=cache_length,
+                vision_hidden_states,
+                cross_attention_mask,
+                cache_kv,
+                cache_length,
+                causal,
+                segment_ids,
             )
             if new_kv is not None:
                 new_ks.append(new_kv[0])

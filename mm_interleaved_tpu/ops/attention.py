@@ -34,6 +34,8 @@ def dot_product_attention(
     mask: Optional[jax.Array] = None,
     causal: bool = False,
     scale: Optional[float] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
     allow_pallas: bool = True,
 ) -> jax.Array:
     """Multi-head attention.
@@ -47,12 +49,18 @@ def dot_product_attention(
       causal: apply causal masking (query i attends keys <= i, aligned to the
         *end* of the key sequence so it composes with prefix KV caches).
       scale: overrides the default ``1/sqrt(D)``.
+      q_segment_ids / kv_segment_ids: ``[B, Tq]`` / ``[B, Tk]`` int segments;
+        attention only within equal segments.  Prefer these over a dense
+        ``mask`` for padding — they keep the Pallas flash path eligible.
     """
-    if allow_pallas and _use_pallas(q) and bias is None and mask is None:
+    if (allow_pallas and _use_pallas(q) and bias is None and mask is None):
         try:
             from .flash_attention import flash_attention
 
-            return flash_attention(q, k, v, causal=causal, scale=scale)
+            return flash_attention(
+                q, k, v, causal=causal, scale=scale,
+                q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+            )
         except Exception:
             pass  # fall through to the XLA path
 
@@ -74,6 +82,11 @@ def dot_product_attention(
         qi = jnp.arange(tq)[:, None] + (tk - tq)
         ki = jnp.arange(tk)[None, :]
         logits = jnp.where(ki <= qi, logits, neg)
+    if q_segment_ids is not None:
+        seg = (
+            q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]
+        )[:, None]
+        logits = jnp.where(seg, logits, neg)
     if mask is not None:
         logits = jnp.where(mask, logits, neg)
 

@@ -23,14 +23,23 @@ def flash_attention(
     *,
     causal: bool = False,
     scale: Optional[float] = None,
+    q_segment_ids: Optional[jax.Array] = None,  # [B, Tq]
+    kv_segment_ids: Optional[jax.Array] = None,  # [B, Tk]
 ) -> jax.Array:
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
+        SegmentIds,
         flash_attention as pallas_flash,
     )
 
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
+    segment_ids = None
+    if q_segment_ids is not None:
+        segment_ids = SegmentIds(
+            q=q_segment_ids.astype(jnp.int32),
+            kv=kv_segment_ids.astype(jnp.int32),
+        )
 
     qt = q.swapaxes(1, 2)  # [B, H, T, D]
     kt = k.swapaxes(1, 2)
@@ -52,6 +61,7 @@ def flash_attention(
     )
     out = pallas_flash(
         qt, kt, vt,
+        segment_ids=segment_ids,
         causal=causal,
         sm_scale=scale,
         block_sizes=blk,
