@@ -253,3 +253,40 @@ def build_train_iterator(
         yield from it
 
     return chained(), first
+
+
+def skip_batches(it, n: int):
+    """Deterministic resume fast-forward — the counted-skip semantics of the
+    reference's WebLoader resume (lmm_trainer.py:1041-1057)."""
+    for _ in range(n):
+        next(it)
+    return it
+
+
+def prefetch(it, size: int = 2):
+    """Background-thread prefetch (replaces torch DataLoader workers for the
+    host-side pipeline; pairs with the native C++ pixel kernels)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+
+    def gen():
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            yield item
+
+    return gen()

@@ -109,16 +109,48 @@ class Trainer:
         return jax.device_put(state, shardings)
 
     def state_shardings(self, state: TrainState):
+        """Param shardings from the partition rules; optimizer moments shard
+        like their params (the ZeRO-1 ≡ sharded-opt-state equivalence,
+        SURVEY.md §2.6) by matching the param path embedded in the optax
+        state path; everything else replicates."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         replicated = NamedSharding(self.mesh, P())
         param_sh = params_shardings(state.params, self.mesh, self.rules)
 
-        def opt_sharding(x):
-            # shard optimizer moments like their params when shapes match
-            return NamedSharding(self.mesh, P())
+        def path_str(kp):
+            return "/".join(
+                str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
+                for k in kp
+            )
 
-        opt_sh = jax.tree_util.tree_map(opt_sharding, state.opt_state)
+        # the optimizer state mirrors variables["params"] (no collection
+        # prefix), so key the lookup off that subtree
+        sh_leaves = jax.tree_util.tree_flatten_with_path(
+            param_sh["params"] if "params" in param_sh else param_sh
+        )[0]
+        p_leaves = jax.tree_util.tree_flatten_with_path(
+            state.params["params"] if "params" in state.params
+            else state.params
+        )[0]
+        param_lookup = {
+            path_str(kp): (sh, tuple(np.shape(pv)))
+            for (kp, sh), (_, pv) in zip(sh_leaves, p_leaves)
+        }
+
+        def opt_sharding(kp, leaf):
+            p = path_str(kp)
+            shape = tuple(getattr(leaf, "shape", ()))
+            best = None
+            for ppath, (sh, pshape) in param_lookup.items():
+                if p.endswith(ppath) and shape == pshape:
+                    if best is None or len(ppath) > best[0]:
+                        best = (len(ppath), sh)
+            return best[1] if best is not None else replicated
+
+        opt_sh = jax.tree_util.tree_map_with_path(
+            opt_sharding, state.opt_state
+        )
         return TrainState(step=replicated, params=param_sh, opt_state=opt_sh)
 
     # ------------------------------------------------------------------ #

@@ -97,6 +97,32 @@ class MetricLogger:
         )
 
 
+def print_parameters_stats(params, trainable_mask=None, prefix: str = "",
+                           print_fn=print):
+    """Per-top-level-module parameter counts (reference
+    `print_parameters_stats`, mm_interleaved.py:110-119)."""
+    import jax
+
+    tree = params.get("params", params)
+    for name, sub in tree.items():
+        total = sum(
+            int(np.prod(np.shape(x)))
+            for x in jax.tree_util.tree_leaves(sub)
+        )
+        line = f"# {prefix}{name} Total parameters: {total / 1e6:.2f}M"
+        if trainable_mask is not None:
+            tm = trainable_mask.get("params", trainable_mask).get(name)
+            leaves = zip(
+                jax.tree_util.tree_leaves(sub),
+                jax.tree_util.tree_leaves(tm),
+            )
+            trainable = sum(
+                int(np.prod(np.shape(x))) for x, m in leaves if m
+            )
+            line += f" | Trainable: {trainable / 1e6:.2f}M"
+        print_fn(line)
+
+
 def rank0_print(*args, **kwargs):
     """Timestamped rank-0-only print (misc.py:240-254)."""
     import jax

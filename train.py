@@ -82,7 +82,24 @@ def main():
         cfg.get("data", {}), model_cfg
     )
     state = trainer.init_state(jax.random.PRNGKey(optim_seed(tr)), example_batch)
+
+    from mm_interleaved_tpu.engine.optim import trainable_mask
+    from mm_interleaved_tpu.utils.logging import print_parameters_stats
+
+    if jax.process_index() == 0:
+        print_parameters_stats(
+            jax.tree_util.tree_map(lambda x: x, state.params),
+            trainable_mask(optim, state.params["params"]),
+            prefix="MMInterleaved.",
+        )
+
     state = trainer.restore(state)  # auto-resume (train.py:62-66)
+    from mm_interleaved_tpu.data.pipeline import prefetch, skip_batches
+
+    if int(state.step) > 0:
+        # deterministic data fast-forward (counted skip)
+        data_iter = skip_batches(data_iter, int(state.step))
+    data_iter = prefetch(data_iter, size=2)
 
     def log_fn(step, metrics):
         if jax.process_index() == 0:
