@@ -102,12 +102,45 @@ class ImageTextPairCollator:
     instr_prompts: Optional[Dict[str, List[str]]] = None
     uncond_prob: float = 0.0  # t2i training caption dropout
     padding: str = "longest"
+    # few-shot in-context examples (reference collator.py:278-317):
+    # retrieved via RICES when given, else random from train_dataset
+    few_shot_k: int = 0
+    few_shot_template: str = "Caption: {caption}"
+    train_dataset: Optional[object] = None
+    rices: Optional[object] = None
+    few_shot_seed: int = 0
 
     def __post_init__(self):
         self.instr = self.instr_prompts or {
             "image": ["", "", ""],
             "text": ["a photo of", "{image}", ""],
         }
+
+    def _few_shot(self, query_image, rng: Optional[np.random.RandomState]):
+        """(prompt_prefix, example_images) — RICES top-k when available,
+        random train examples otherwise (reference collator.py:278-317)."""
+        if self.few_shot_k <= 0:
+            return "", []
+        if self.rices is not None:
+            examples = self.rices.get_examples(
+                query_image[None], self.few_shot_k
+            )[0]
+        else:
+            assert self.train_dataset is not None
+            rng = rng or np.random.RandomState(self.few_shot_seed)
+            idxs = rng.choice(
+                len(self.train_dataset), self.few_shot_k, replace=False
+            )
+            examples = [self.train_dataset[int(i)] for i in idxs]
+        prefix_parts, images = [], []
+        block = _image_subseq(self.num_img_token)
+        for ex in examples:
+            enc, _, caption, _ = self._unpack(ex)
+            images.append(enc)
+            prefix_parts.append(
+                block + " " + self.few_shot_template.format(caption=caption)
+            )
+        return " ".join(prefix_parts) + " ", images
 
     def _encode_rows(self, texts: List[str], left_pad: bool):
         rows = [
@@ -145,21 +178,25 @@ class ImageTextPairCollator:
             enc, dec = images_tensor, None
         return enc, dec, caption, index
 
-    def _generate_texts(self, data_list):
+    def _generate_texts(self, data_list, rng=None):
         assis, user, sys = self.instr["text"]
         if "{image}" not in user:
             user = "{image}" + user
         img_block = _image_subseq(self.num_img_token)
         texts, enc_imgs, meta = [], [], []
+        max_img = self.max_num_images
         for data in data_list:
             enc, dec, caption, index = self._unpack(data)
+            prefix, shot_imgs = self._few_shot(enc, rng)
             texts.append(
-                f"{sys} {user.format(image=img_block)} {assis}".strip()
+                f"{sys} {prefix}{user.format(image=img_block)} "
+                f"{assis}".strip()
             )
-            enc_imgs.append(enc[None])
+            enc_imgs.append(np.stack(shot_imgs + [enc]))
+            max_img = max(max_img, len(shot_imgs) + 1)
             meta.append((index, caption))
         ids, att = self._encode_rows(texts, left_pad=True)
-        imgs, counts = _stack_images(enc_imgs, self.max_num_images)
+        imgs, counts = _stack_images(enc_imgs, max_img)
         return dict(
             text_ids=ids, attention_mask=att, image_tensors=imgs,
             num_image_per_seq=counts, meta=meta,

@@ -126,6 +126,55 @@ class VisDialCollator:
 
 
 @dataclasses.dataclass
+class StoryCollator:
+    """Visual storytelling eval batches (reference VISTDataset pathway +
+    _inner_generation_loop_v2): the full story token stream with every frame's
+    image block present; ``target_image_slots`` marks which padded image slots
+    the evaluator should generate (in order), the rest are real context."""
+
+    tokenizer: object
+    special: SpecialIds
+    num_img_token: int = 64
+    seq_len: int = 1024
+    max_num_images: int = 8
+    task_prefix: str = ""
+
+    def __call__(self, data_list):
+        img_block = _image_subseq(self.num_img_token)
+        rows, img_lists, targets, meta = [], [], [], []
+        max_targets = 1
+        for item in data_list:
+            text = self.task_prefix
+            for sent in item["sentences"]:
+                text += " " + sent + " " + img_block
+            ids = self.tokenizer.encode(text.strip(), add_bos=True)
+            rows.append(ids)
+            imgs = np.stack(item["images"])[: self.max_num_images]
+            img_lists.append(imgs)
+            tr = [t for t in item["target_rounds"]
+                  if t < self.max_num_images]
+            targets.append(tr)
+            max_targets = max(max_targets, len(tr))
+            meta.append((item.get("index", 0), item.get("story_id")))
+        length = min(self.seq_len, max(len(r) for r in rows))
+        ids = np.stack([
+            _pad_1d(np.asarray(r, np.int32), length,
+                    self.special.pad_token_id) for r in rows
+        ]).astype(np.int32)
+        att = np.stack([
+            _pad_1d(np.ones(len(r), np.int32), length, 0) for r in rows
+        ]).astype(np.int32)
+        imgs, counts = _stack_images(img_lists, self.max_num_images)
+        slot = np.full((len(rows), max_targets), -1, np.int32)
+        for b, tr in enumerate(targets):
+            slot[b, : len(tr)] = tr
+        return dict(
+            text_ids=ids, attention_mask=att, image_tensors=imgs,
+            num_image_per_seq=counts, target_image_slots=slot, meta=meta,
+        )
+
+
+@dataclasses.dataclass
 class MultiImageCollator:
     """SFT collator (reference collator_sft.py:9-265): per-sample interleaved
     conversations with multiple images, train and generate modes."""

@@ -121,9 +121,15 @@ class Evaluator:
         return result
 
     def evaluate_t2i(self, batches, dataset_name: str = "t2i",
-                     save_images: bool = True) -> Dict[str, float]:
+                     save_images: bool = True, num_candidates: int = 1,
+                     rerank_fn=None) -> Dict[str, float]:
         """Generate images; save for FID computation downstream
-        (reference _inner_generation_loop t2i branch, lmm_trainer.py:1390-1434)."""
+        (reference _inner_generation_loop t2i branch, lmm_trainer.py:1390-1434).
+
+        With ``num_candidates > 1`` and a ``rerank_fn(images, captions) ->
+        best_idx_per_caption``, reproduces the 8-candidate CLIP text-image
+        rerank (clip_sim_score.py:84-120).
+        """
         n = 0
         out_dir = None
         if save_images and self.cfg.output_dir:
@@ -146,15 +152,27 @@ class Evaluator:
                 np.arange(B) * max_img
                 + np.asarray(batch["num_image_per_seq"]) - 1
             )
-            imgs = generate_images(
-                self.model, self.variables,
-                ctx[tgt], ctx_mask[tgt],
-                jax.random.fold_in(rng, bi),
-                mmfs_values=mmfs_vals[tgt], mmfs_mask=mmfs_mask[tgt],
-                num_inference_steps=self.cfg.num_inference_steps,
-                guidance_scale=self.cfg.guidance_scale,
-            )
-            arr = (np.asarray(imgs) * 255).astype(np.uint8)
+            cands = []
+            for c in range(num_candidates):
+                imgs = generate_images(
+                    self.model, self.variables,
+                    ctx[tgt], ctx_mask[tgt],
+                    jax.random.fold_in(jax.random.fold_in(rng, bi), c),
+                    mmfs_values=mmfs_vals[tgt], mmfs_mask=mmfs_mask[tgt],
+                    num_inference_steps=self.cfg.num_inference_steps,
+                    guidance_scale=self.cfg.guidance_scale,
+                )
+                cands.append(np.asarray(imgs))
+            if num_candidates > 1 and rerank_fn is not None:
+                captions = [m[1] for m in batch["meta"]]
+                stacked = np.concatenate(cands, axis=0)  # [C*B, H, W, 3]
+                best = rerank_fn(stacked, captions)  # [B] candidate idx
+                picked = np.stack([
+                    cands[best[i]][i] for i in range(B)
+                ])
+            else:
+                picked = cands[0]
+            arr = (picked * 255).astype(np.uint8)
             if out_dir is not None:
                 from PIL import Image
 

@@ -234,7 +234,12 @@ class Trainer:
         data_iter: Iterator[Dict[str, Any]],
         num_steps: Optional[int] = None,
         log_fn: Callable[[int, Dict[str, float]], None] = None,
+        eval_fn: Callable[[TrainState], Dict[str, float]] = None,
+        eval_every: int = 0,
     ) -> TrainState:
+        """Training loop. ``eval_fn``/``eval_every`` mirror the reference's
+        evaluate-during-training (`_maybe_log_save_evaluate`,
+        lmm_trainer.py:1174, eval_steps mm_pretrain.yaml:28)."""
         num_steps = num_steps or self.cfg.max_steps
         step_fn = None
         t0 = time.time()
@@ -249,6 +254,11 @@ class Trainer:
                 m["steps_per_sec"] = (i + 1) / (time.time() - t0)
                 if log_fn:
                     log_fn(step, m)
+            if eval_fn is not None and eval_every and step % eval_every == 0:
+                eval_metrics = eval_fn(state)
+                if log_fn and eval_metrics:
+                    log_fn(step, {f"eval/{k}": v
+                                  for k, v in eval_metrics.items()})
             self.maybe_save(state)
         return state
 

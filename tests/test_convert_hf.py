@@ -142,3 +142,54 @@ def test_clip_vit_matches_hf():
     np.testing.assert_allclose(
         np.asarray(ours), theirs, rtol=2e-4, atol=2e-5
     )
+
+
+@pytest.mark.slow
+def test_clip_text_matches_hf():
+    from transformers import CLIPTextConfig as HFTextConfig
+    from transformers import CLIPTextModelWithProjection
+
+    hf_cfg = HFTextConfig(
+        vocab_size=99,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        max_position_embeddings=16,
+        projection_dim=24,
+        eos_token_id=98,
+        bos_token_id=97,
+        hidden_act="quick_gelu",
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = CLIPTextModelWithProjection(hf_cfg).eval()
+
+    from mm_interleaved_tpu.models.clip_text import (
+        CLIPTextConfig,
+        CLIPTextModel,
+        convert_clip_text,
+    )
+
+    cfg = CLIPTextConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, projection_dim=24, eos_token_id=98,
+    )
+    model = CLIPTextModel(cfg)
+    ids = np.array([[97, 5, 9, 23, 98, 0, 0, 0]], dtype=np.int32)
+    p0 = model.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = {"params": merge_params(
+        p0["params"], convert_clip_text(sd, num_layers=2)
+    )}
+    hidden, feats = model.apply(params, jnp.asarray(ids))
+    with torch.no_grad():
+        out = hf(input_ids=torch.tensor(ids, dtype=torch.long))
+    np.testing.assert_allclose(
+        np.asarray(hidden), out.last_hidden_state.numpy(),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats), out.text_embeds.numpy(), rtol=2e-4, atol=2e-5
+    )
