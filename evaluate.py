@@ -66,6 +66,51 @@ def build_eval_dataset(ds_cfg, model_cfg, tokenizer):
             num_img_token=model_cfg.num_img_token,
             seq_len=ds_cfg.get("seq_len", 256), mode=mode,
         )
+    elif name == "visdial":
+        from mm_interleaved_tpu.data.collators_extra import VisDialCollator
+        from mm_interleaved_tpu.data.datasets_extra import VisDialDenseDataset
+
+        ds = VisDialDenseDataset(
+            ds_cfg["dialogs_file"], ds_cfg["dense_file"],
+            ds_cfg["data_root"], transform,
+            total_length=ds_cfg.get("total_length"),
+        )
+        coll = VisDialCollator(
+            tokenizer, tokenizer.special,
+            num_img_token=model_cfg.num_img_token,
+            ctx_len=ds_cfg.get("seq_len", 512),
+        )
+        mode = "generate_scores"
+    elif name == "grounding":
+        from mm_interleaved_tpu.data.collators_extra import GroundingCollator
+        from mm_interleaved_tpu.data.datasets_extra import GroundingDataset
+
+        ds = GroundingDataset(
+            ds_cfg["annt_file"], ds_cfg["data_root"], transform,
+            total_length=ds_cfg.get("total_length"),
+        )
+        coll = GroundingCollator(
+            tokenizer, tokenizer.special,
+            num_img_token=model_cfg.num_img_token,
+            seq_len=ds_cfg.get("seq_len", 256),
+        )
+        mode = "generate_grounding"
+    elif name == "story":
+        from mm_interleaved_tpu.data.collators_extra import StoryCollator
+        from mm_interleaved_tpu.data.datasets_extra import StoryDataset
+
+        ds = StoryDataset(
+            ds_cfg["annt_file"], ds_cfg["data_root"], transform,
+            task_prefix=ds_cfg.get("task_prefix", ""),
+            total_length=ds_cfg.get("total_length"),
+        )
+        coll = StoryCollator(
+            tokenizer, tokenizer.special,
+            num_img_token=model_cfg.num_img_token,
+            seq_len=ds_cfg.get("seq_len", 1024),
+            max_num_images=model_cfg.max_num_images,
+        )
+        mode = "generate_storytelling"
     else:
         raise ValueError(name)
     return ds, coll, mode
@@ -124,6 +169,14 @@ def main():
             result = evaluator.evaluate_vqa(batches, dataset_name=name)
         elif mode == "generate_images":
             result = evaluator.evaluate_t2i(batches, dataset_name=name)
+        elif mode == "generate_scores":
+            result = evaluator.evaluate_ranking(batches, dataset_name=name)
+        elif mode == "generate_grounding":
+            result = evaluator.evaluate_grounding(batches, dataset_name=name)
+        elif mode == "generate_storytelling":
+            result = evaluator.evaluate_storytelling(
+                batches, dataset_name=name
+            )
         else:
             raise ValueError(mode)
         print(f"[{name}] {result}")

@@ -185,6 +185,27 @@ class Evaluator:
         self._sink(dataset_name, result)
         return result
 
+    def evaluate_grounding(self, batches, dataset_name: str = "grounding"
+                           ) -> Dict[str, float]:
+        """Referring-expression grounding: decode '<box>(x,y)(x,y)</box>'
+        strings, score acc@IoU0.5 (reference lmm_trainer.py:1580-1592)."""
+        gen_cfg = self._gen_cfg(min_new_tokens=1, max_new_tokens=24)
+        preds, gts = [], []
+        for bi, batch in enumerate(batches):
+            if self.cfg.max_batches and bi >= self.cfg.max_batches:
+                break
+            texts = self._decode_batch(batch, gen_cfg)
+            for (index, expr, gt_box), text in zip(batch["meta"], texts):
+                boxes = M.parse_box_string(text)
+                preds.append(boxes[0] if boxes else [0.0, 0.0, 0.0, 0.0])
+                gts.append(gt_box)
+        result = {
+            "grounding_acc@0.5": M.grounding_accuracy(preds, gts),
+            "num_samples": len(preds),
+        }
+        self._sink(dataset_name, result)
+        return result
+
     def evaluate_ranking(self, batches, dataset_name: str = "visdial"
                          ) -> Dict[str, float]:
         """Option-ranking eval -> NDCG (reference _inner_ranking_loop,
@@ -283,6 +304,24 @@ class Evaluator:
         return result
 
     # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def gather_predictions(local: Dict) -> Dict:
+        """Multi-host prediction merge via `process_allgather` — replaces the
+        reference's per-rank JSON files + barrier (caption_collect.py:7,
+        lmm_trainer.py:1871-1891)."""
+        if jax.process_count() == 1:
+            return local
+        from jax.experimental import multihost_utils
+
+        keys = sorted(local.keys())
+        gathered = multihost_utils.process_allgather(
+            {k: local[k] for k in keys}
+        )
+        merged: Dict = {}
+        for k, v in gathered.items():
+            merged[k] = v
+        return merged
 
     def _sink(self, dataset_name: str, result: Dict):
         """Append to eval_metrics.jsonl (reference lmm_trainer.py:2165-2177)."""

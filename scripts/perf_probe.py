@@ -1,0 +1,164 @@
+"""Performance probe on the real chip: per-phase timings.
+
+Measures the three BASELINE.json metrics separately:
+  * caption decode tokens/sec (KV-cache decode, MMFS cross-attn active),
+  * SD denoise steps/sec (CFG batch),
+  * prefill+encode latency,
+  * train step/sec (small preset; base doesn't fit fp32 Adam on one chip).
+
+Run: python scripts/perf_probe.py [--preset base|small] [--train]
+"""
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="base")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--decode_tokens", type=int, default=64)
+    ap.add_argument("--denoise_steps", type=int, default=50)
+    ap.add_argument("--train", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mm_interleaved_tpu.configs import base_config, small_config
+    from mm_interleaved_tpu.generation.diffusion import generate_images
+    from mm_interleaved_tpu.generation.text import (
+        TextGenerationConfig,
+        generate_texts,
+    )
+    from mm_interleaved_tpu.models.mm_interleaved import MMInterleaved
+
+    B = args.batch
+    cfg = (base_config(seq_len=512, max_num_images=2, remat=False)
+           if args.preset == "base"
+           else small_config(seq_len=512, max_num_images=2))
+    model = MMInterleaved(cfg)
+    S = cfg.special
+    ntok = cfg.num_img_token
+    rng = np.random.RandomState(0)
+    L = 256
+    row = [S.bos_token_id, 5, S.soi_token_id] + [S.image_token_id] * ntok
+    row += list(rng.randint(10, 30000, size=L - len(row)))
+    ids = np.tile(np.asarray(row[:L], np.int32), (B, 1))
+    enc_res = cfg.visual.encoder.vit.image_size
+    batch = dict(
+        text_ids=jnp.asarray(ids),
+        image_tensors=jnp.asarray(
+            rng.rand(B, cfg.max_num_images, enc_res, enc_res, 3)
+            .astype(np.float32)
+        ),
+        num_image_per_seq=jnp.ones((B,), jnp.int32),
+        attention_mask=jnp.ones_like(jnp.asarray(ids)),
+    )
+    extra = {}
+    if cfg.image_decoder is not None:
+        d = cfg.image_decoder.image_size
+        extra["image_tensors_dec"] = jnp.asarray(
+            rng.rand(B, cfg.max_num_images, d, d, 3).astype(np.float32)
+        )
+
+    t0 = time.time()
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, **batch, **extra,
+    )
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        variables,
+    )
+    jax.block_until_ready(variables)
+    print(f"init: {time.time()-t0:.1f}s")
+
+    results = {}
+
+    # --- prefill + encode
+    prep_fn = jax.jit(lambda v, b: model.apply(
+        v, b["text_ids"], b["image_tensors"], b["num_image_per_seq"],
+        method=model.prepare_mm_embeds,
+    ))
+    prep = prep_fn(variables, batch)
+    jax.block_until_ready(prep)
+    t0 = time.time()
+    for _ in range(5):
+        prep = prep_fn(variables, batch)
+    jax.block_until_ready(prep)
+    results["encode_prefill_ms"] = (time.time() - t0) / 5 * 1e3
+
+    # --- decode throughput
+    gen_cfg = TextGenerationConfig(
+        max_new_tokens=args.decode_tokens, eos_token_ids=(999999,),
+        pad_token_id=S.pad_token_id,
+    )
+    dec_fn = jax.jit(lambda v, b, r: generate_texts(
+        model, v, b["text_ids"], b["image_tensors"],
+        b["num_image_per_seq"], b["attention_mask"], gen_cfg, r,
+    ))
+    key = jax.random.PRNGKey(0)
+    dec_fn(variables, batch, key).block_until_ready()
+    t0 = time.time()
+    reps = 3
+    for i in range(reps):
+        out = dec_fn(variables, batch, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt = (time.time() - t0) / reps
+    results["decode_tokens_per_sec"] = B * args.decode_tokens / dt
+    results["decode_ms_per_token"] = dt / args.decode_tokens * 1e3
+
+    # --- SD denoise
+    if cfg.image_decoder is not None:
+        img_inputs_fn = jax.jit(lambda v, b: model.apply(
+            v, b["text_ids"], b["image_tensors"], b["num_image_per_seq"],
+            b["attention_mask"], method=model.generate_image_inputs,
+        ))
+        ctx, ctx_mask, mmfs_vals, mmfs_mask = img_inputs_fn(variables, batch)
+        gen_img = jax.jit(lambda v, c, cm, mv, mm, r: generate_images(
+            model, v, c, cm, r, mmfs_values=mv, mmfs_mask=mm,
+            num_inference_steps=args.denoise_steps, guidance_scale=3.5,
+        ))
+        tgt = slice(0, B)
+        gen_img(variables, ctx[tgt], ctx_mask[tgt], mmfs_vals[tgt],
+                mmfs_mask[tgt], key).block_until_ready()
+        t0 = time.time()
+        imgs = gen_img(variables, ctx[tgt], ctx_mask[tgt], mmfs_vals[tgt],
+                       mmfs_mask[tgt], key)
+        imgs.block_until_ready()
+        dt = time.time() - t0
+        results["denoise_steps_per_sec"] = args.denoise_steps / dt
+        results["image_sec_per_sample"] = dt / B
+
+    # --- train step (small only)
+    if args.train:
+        from mm_interleaved_tpu.engine.optim import OptimConfig
+        from mm_interleaved_tpu.engine.trainer import Trainer, TrainerConfig
+        from mm_interleaved_tpu.parallel.partition import make_mesh
+
+        trainer = Trainer(
+            model, TrainerConfig(optim=OptimConfig(
+                warmup_steps=1, total_steps=100)),
+            mesh=make_mesh(data=-1),
+        )
+        tb = dict(batch, **extra)
+        state = trainer.init_state(jax.random.PRNGKey(0), tb)
+        step_fn = trainer.compile_step(state, tb)
+        state, _ = step_fn(state, trainer.shard_batch(tb))
+        t0 = time.time()
+        for _ in range(3):
+            state, m = step_fn(state, trainer.shard_batch(tb))
+        jax.block_until_ready(m)
+        results["train_steps_per_sec"] = 3 / (time.time() - t0)
+
+    print(json.dumps({"preset": args.preset, "batch": B, **{
+        k: round(v, 3) for k, v in results.items()
+    }}))
+
+
+if __name__ == "__main__":
+    main()
