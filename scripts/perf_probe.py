@@ -11,7 +11,11 @@ Run: python scripts/perf_probe.py [--preset base|small] [--train]
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -21,6 +25,7 @@ def main():
     ap.add_argument("--decode_tokens", type=int, default=64)
     ap.add_argument("--denoise_steps", type=int, default=50)
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--phases", default="encode,decode,image")
     args = ap.parse_args()
 
     import jax
@@ -79,41 +84,51 @@ def main():
 
     results = {}
 
+    phases = args.phases.split(",")
+
     # --- prefill + encode
-    prep_fn = jax.jit(lambda v, b: model.apply(
-        v, b["text_ids"], b["image_tensors"], b["num_image_per_seq"],
-        method=model.prepare_mm_embeds,
-    ))
-    prep = prep_fn(variables, batch)
-    jax.block_until_ready(prep)
-    t0 = time.time()
-    for _ in range(5):
+    if "encode" in phases:
+        prep_fn = jax.jit(lambda v, b: model.apply(
+            v, b["text_ids"], b["image_tensors"], b["num_image_per_seq"],
+            method=model.prepare_mm_embeds,
+        ))
         prep = prep_fn(variables, batch)
-    jax.block_until_ready(prep)
-    results["encode_prefill_ms"] = (time.time() - t0) / 5 * 1e3
+        jax.block_until_ready(prep)
+        t0 = time.time()
+        for _ in range(5):
+            prep = prep_fn(variables, batch)
+        jax.block_until_ready(prep)
+        results["encode_prefill_ms"] = (time.time() - t0) / 5 * 1e3
+        print("encode_prefill_ms", round(results["encode_prefill_ms"], 2),
+              flush=True)
 
     # --- decode throughput
-    gen_cfg = TextGenerationConfig(
-        max_new_tokens=args.decode_tokens, eos_token_ids=(999999,),
-        pad_token_id=S.pad_token_id,
-    )
-    dec_fn = jax.jit(lambda v, b, r: generate_texts(
-        model, v, b["text_ids"], b["image_tensors"],
-        b["num_image_per_seq"], b["attention_mask"], gen_cfg, r,
-    ))
     key = jax.random.PRNGKey(0)
-    dec_fn(variables, batch, key).block_until_ready()
-    t0 = time.time()
-    reps = 3
-    for i in range(reps):
-        out = dec_fn(variables, batch, jax.random.fold_in(key, i))
-    out.block_until_ready()
-    dt = (time.time() - t0) / reps
-    results["decode_tokens_per_sec"] = B * args.decode_tokens / dt
-    results["decode_ms_per_token"] = dt / args.decode_tokens * 1e3
+    if "decode" in phases:
+        gen_cfg = TextGenerationConfig(
+            max_new_tokens=args.decode_tokens, eos_token_ids=(999999,),
+            pad_token_id=S.pad_token_id,
+        )
+        dec_fn = jax.jit(lambda v, b, r: generate_texts(
+            model, v, b["text_ids"], b["image_tensors"],
+            b["num_image_per_seq"], b["attention_mask"], gen_cfg, r,
+        ))
+        dec_fn(variables, batch, key).block_until_ready()
+        t0 = time.time()
+        reps = 3
+        for i in range(reps):
+            out = dec_fn(variables, batch, jax.random.fold_in(key, i))
+        out.block_until_ready()
+        dt = (time.time() - t0) / reps
+        results["decode_tokens_per_sec"] = B * args.decode_tokens / dt
+        results["decode_ms_per_token"] = dt / args.decode_tokens * 1e3
+        print("decode_tokens_per_sec",
+              round(results["decode_tokens_per_sec"], 1),
+              "ms_per_token", round(results["decode_ms_per_token"], 2),
+              flush=True)
 
     # --- SD denoise
-    if cfg.image_decoder is not None:
+    if cfg.image_decoder is not None and "image" in phases:
         img_inputs_fn = jax.jit(lambda v, b: model.apply(
             v, b["text_ids"], b["image_tensors"], b["num_image_per_seq"],
             b["attention_mask"], method=model.generate_image_inputs,
@@ -133,6 +148,8 @@ def main():
         dt = time.time() - t0
         results["denoise_steps_per_sec"] = args.denoise_steps / dt
         results["image_sec_per_sample"] = dt / B
+        print("denoise_steps_per_sec",
+              round(results["denoise_steps_per_sec"], 2), flush=True)
 
     # --- train step (small only)
     if args.train:
