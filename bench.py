@@ -71,25 +71,29 @@ def run_bench():
         attention_mask=jnp.ones_like(jnp.asarray(ids)),
     )
 
-    variables = jax.jit(model.init)(
-        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
-         "dropout": jax.random.PRNGKey(2)},
-        **batch, **(
-            {} if cfg.image_decoder is None else dict(
-                image_tensors_dec=jnp.asarray(
-                    rng.rand(B, cfg.max_num_images,
-                             cfg.image_decoder.image_size,
-                             cfg.image_decoder.image_size, 3)
-                    .astype(np.float32)
-                )
+    extra = (
+        {} if cfg.image_decoder is None else dict(
+            image_tensors_dec=jnp.asarray(
+                rng.rand(B, cfg.max_num_images,
+                         cfg.image_decoder.image_size,
+                         cfg.image_decoder.image_size, 3)
+                .astype(np.float32)
             )
-        ),
+        )
     )
-    # bf16 weights for inference (fp32 master is a training concern)
-    variables = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-        variables,
+
+    def init_bf16(rngs, batch, extra):
+        v = model.init(rngs, **batch, **extra)
+        # bf16 weights for inference, cast inside the jit so fp32 masters
+        # never materialise in HBM
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, v,
+        )
+
+    variables = jax.jit(init_bf16)(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, batch, extra,
     )
 
     gen_cfg = TextGenerationConfig(
@@ -120,18 +124,25 @@ def run_bench():
     text_jit = jax.jit(text_half)
     image_jit = jax.jit(image_half)
 
+    import numpy as _np
+
+    def sync(x):
+        # block_until_ready is unreliable on relay-backed platforms; force a
+        # real device->host transfer of a scalar slice
+        return _np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
     key = jax.random.PRNGKey(0)
     # warmup/compile
-    text_jit(variables, batch, key).block_until_ready()
-    image_jit(variables, batch, key).block_until_ready()
+    sync(text_jit(variables, batch, key))
+    sync(image_jit(variables, batch, key))
 
     t0 = time.time()
     for i in range(reps):
         k = jax.random.fold_in(key, i)
         toks = text_jit(variables, batch, k)
         imgs = image_jit(variables, batch, k)
-    toks.block_until_ready()
-    imgs.block_until_ready()
+    sync(toks)
+    sync(imgs)
     dt = time.time() - t0
 
     turns_per_sec = reps * B / dt

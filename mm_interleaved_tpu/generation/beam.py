@@ -53,10 +53,13 @@ def beam_search(
     alpha = cfg.length_penalty
 
     # ---- prefill on B rows, then tile the cache to B*K
+    from .text import extract_vision_values
+
     cache = KVCache.create(model.cfg.llm, B, L + T)
-    logits, _, cache = model.apply(
+    (logits, _, cache), inters = model.apply(
         variables, mm_embeds, attention_mask, mmfs_values,
         cross_attention_mask, cache, method=model.lm_prefill,
+        mutable=["intermediates"],
     )
     first_logp = jax.nn.log_softmax(
         logits[:, -1].astype(jnp.float32), axis=-1
@@ -68,8 +71,15 @@ def beam_search(
         valid=_tile_beams(cache.valid, K),
         length=cache.length,
     )
-    mmfs_b = (_tile_beams(mmfs_values, K)
-              if mmfs_values is not None else None)
+    vvc = (extract_vision_values(model, inters)
+           if mmfs_values is not None else None)
+    if vvc is not None:
+        # [n_cross, B, ...] -> tile beams along batch
+        vvc = jnp.repeat(vvc, K, axis=1)
+        mmfs_b = None
+    else:
+        mmfs_b = (_tile_beams(mmfs_values, K)
+                  if mmfs_values is not None else None)
     xmask_b = (
         _tile_beams(cross_attention_mask[:, -1:, :], K)
         if cross_attention_mask is not None else None
@@ -112,6 +122,7 @@ def beam_search(
             mmfs_b,
             xmask_b,
             cache,
+            vvc,
             method=model.lm_decode_step,
         )
         logp = jax.nn.log_softmax(

@@ -80,6 +80,26 @@ def _sample_token(logits, rng, cfg: TextGenerationConfig):
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
+def extract_vision_values(model, inters) -> Optional[jax.Array]:
+    """Stack the prefill-sown per-cross-layer MMFS value projections
+    ([n_cross, B, n_img, hw, d]) for reuse across decode steps."""
+    cfg = model.cfg.llm
+    md = inters.get("intermediates", {}).get("mm_decoder")
+    if md is None:
+        return None
+    vals = []
+    for i in range(cfg.num_hidden_layers):
+        if cfg.has_cross_attn(i):
+            try:
+                vals.append(
+                    md[f"layers_{i}"]["llama_cross_attn"]["attn"]
+                    ["projected_value"][0]
+                )
+            except KeyError:
+                return None
+    return jnp.stack(vals) if vals else None
+
+
 def generate_tokens(
     model,
     variables,
@@ -99,9 +119,14 @@ def generate_tokens(
         rng = jax.random.PRNGKey(0)
 
     cache = KVCache.create(model.cfg.llm, B, max_len)
-    logits, _, cache = model.apply(
+    (logits, _, cache), inters = model.apply(
         variables, mm_embeds, attention_mask, mmfs_values,
         cross_attention_mask, cache, method=model.lm_prefill,
+        mutable=["intermediates"],
+    )
+    vision_value_cache = (
+        extract_vision_values(model, inters)
+        if mmfs_values is not None else None
     )
     last_logits = logits[:, -1].astype(jnp.float32)
 
@@ -135,9 +160,10 @@ def generate_tokens(
             variables,
             tokens[:, None],
             jnp.ones((B, 1), jnp.int32),
-            mmfs_values,
+            None if vision_value_cache is not None else mmfs_values,
             decode_cross_mask,
             cache,
+            vision_value_cache,
             method=model.lm_decode_step,
         )
         nxt = pick(

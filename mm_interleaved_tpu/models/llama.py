@@ -212,12 +212,14 @@ class LlamaMMFSCrossAttention(nn.Module):
     layer_idx: int
 
     @nn.compact
-    def __call__(self, x, vision_hidden_states, cross_attention_mask):
+    def __call__(self, x, vision_hidden_states, cross_attention_mask,
+                 vision_value=None):
         cfg = self.config
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="norm1")(x)
-        vis = RMSNorm(cfg.image_embed_dim, cfg.rms_norm_eps, name="norm2")(
-            vision_hidden_states
-        )
+        vis = None
+        if vision_value is None:
+            vis = RMSNorm(cfg.image_embed_dim, cfg.rms_norm_eps,
+                          name="norm2")(vision_hidden_states)
         out = MMFS(
             d_model=cfg.hidden_size,
             d_query=cfg.hidden_size,
@@ -234,7 +236,7 @@ class LlamaMMFSCrossAttention(nn.Module):
             max_num_image_per_seq=cfg.max_num_image_per_seq,
             dtype=cfg.compute_dtype,
             name="attn",
-        )(h, vis, cross_attention_mask)
+        )(h, vis, cross_attention_mask, projected_value=vision_value)
         gate = self.param("gate", nn.initializers.zeros, (1,), jnp.float32)
         return out * jnp.tanh(gate).astype(out.dtype)
 
@@ -255,6 +257,7 @@ class LlamaDecoderLayer(nn.Module):
         cache_length=None,
         causal=False,
         segment_ids=None,
+        vision_value=None,
     ):
         cfg = self.config
         residual = x
@@ -265,11 +268,14 @@ class LlamaDecoderLayer(nn.Module):
         )
         x = residual + h
 
-        if cfg.has_cross_attn(self.layer_idx) and vision_hidden_states is not None:
+        if cfg.has_cross_attn(self.layer_idx) and (
+            vision_hidden_states is not None or vision_value is not None
+        ):
             residual = x
             h = LlamaMMFSCrossAttention(
                 cfg, self.layer_idx, name="llama_cross_attn"
-            )(x, vision_hidden_states, cross_attention_mask)
+            )(x, vision_hidden_states, cross_attention_mask,
+              vision_value=vision_value)
             x = residual + h
 
         residual = x
@@ -328,6 +334,7 @@ class LlamaModel(nn.Module):
         cross_attention_mask: Optional[jax.Array] = None,  # [B, T, n_img]
         cache: Optional[KVCache] = None,
         positions: Optional[jax.Array] = None,
+        vision_value_cache: Optional[jax.Array] = None,  # [n_cross, B, ...]
     ):
         cfg = self.config
         B, T, _ = inputs_embeds.shape
@@ -368,6 +375,11 @@ class LlamaModel(nn.Module):
             cache_kv = None
             if cache is not None:
                 cache_kv = (cache.k[i], cache.v[i])
+            vision_value = None
+            if vision_value_cache is not None and cfg.has_cross_attn(i):
+                vision_value = vision_value_cache[
+                    i // cfg.cross_attention_frequency
+                ]
             h, new_kv = layer(
                 h,
                 positions,
@@ -378,6 +390,7 @@ class LlamaModel(nn.Module):
                 cache_length,
                 causal,
                 segment_ids,
+                vision_value,
             )
             if new_kv is not None:
                 new_ks.append(new_kv[0])

@@ -296,9 +296,11 @@ class MMInterleaved(nn.Module):
 
     def lm_decode_step(
         self, token_ids, attention_mask, mmfs_values, cross_attention_mask,
-        cache: KVCache,
+        cache: KVCache, vision_value_cache=None,
     ):
-        """One decode step: token_ids [B, 1]."""
+        """One decode step: token_ids [B, 1].  ``vision_value_cache``
+        (prefill-sown per-layer MMFS value projections) skips the per-step
+        value_proj over the vision pyramid."""
         embeds = self.mm_decoder.embed(token_ids)
         embeds = so.add_soi_embeds(
             embeds, token_ids,
@@ -311,6 +313,7 @@ class MMInterleaved(nn.Module):
             vision_hidden_states=mmfs_values,
             cross_attention_mask=cross_attention_mask,
             cache=cache,
+            vision_value_cache=vision_value_cache,
         )
         logits = self.text_decoder(hidden)
         return logits, cache

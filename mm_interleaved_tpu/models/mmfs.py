@@ -66,16 +66,22 @@ class MMFS(nn.Module):
     def __call__(
         self,
         query: jax.Array,  # [B, Lq, d_query]
-        input_flatten: jax.Array,  # [B, n_img, hw, d_value]
+        input_flatten: Optional[jax.Array],  # [B, n_img, hw, d_value]
         attention_mask: jax.Array,  # [B, Lq, n_img] or [B, n_img]; 1=valid
         reference_points: Optional[jax.Array] = None,  # [B, Lq, 2] in [0,1]
+        projected_value: Optional[jax.Array] = None,  # [B, n_img, hw, d_vp]
     ) -> jax.Array:
+        """``projected_value`` lets decode steps reuse the value projection of
+        the (step-invariant) vision pyramid: the prefill pass sows it under
+        'intermediates'/'projected_value' and the generation runtime feeds it
+        back, skipping a full `value_proj` matmul per step per layer."""
         d_query = self.d_query if self.d_query > 0 else self.d_model
         d_out = self.d_out if self.d_out > 0 else self.d_model
         d_val_proj = int(self.d_model * self.ratio)
         n_levels = len(self.level_shapes)
         B, Lq, _ = query.shape
-        n_img = input_flatten.shape[1]
+        n_img = (input_flatten if projected_value is None
+                 else projected_value).shape[1]
         nlevels = n_img * n_levels
         P = self.n_points
 
@@ -95,13 +101,17 @@ class MMFS(nn.Module):
         image_relpos = (image_num_tot + 1 - image_num_prev) * mask3
         image_relpos = jnp.clip(image_relpos, 0, self.max_num_image_per_seq - 1)
 
-        # --- value projection
-        value = nn.Dense(
-            d_val_proj,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.xavier_uniform(),
-            name="value_proj",
-        )(input_flatten)
+        # --- value projection (skipped when the prefill already computed it)
+        if projected_value is None:
+            value = nn.Dense(
+                d_val_proj,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.xavier_uniform(),
+                name="value_proj",
+            )(input_flatten)
+            self.sow("intermediates", "projected_value", value)
+        else:
+            value = projected_value
         value = value.reshape(
             B, n_img, -1, self.n_heads, d_val_proj // self.n_heads
         )

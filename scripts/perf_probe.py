@@ -70,19 +70,29 @@ def main():
         )
 
     t0 = time.time()
-    variables = jax.jit(model.init)(
+
+    def init_bf16(rngs, batch, extra):
+        v = model.init(rngs, **batch, **extra)
+        # cast inside the jit so fp32 masters never materialise in HBM
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, v,
+        )
+
+    variables = jax.jit(init_bf16)(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
-         "dropout": jax.random.PRNGKey(2)}, **batch, **extra,
-    )
-    variables = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-        variables,
+         "dropout": jax.random.PRNGKey(2)}, batch, extra,
     )
     jax.block_until_ready(variables)
     print(f"init: {time.time()-t0:.1f}s")
 
     results = {}
+
+    def sync(x):
+        # force real completion: relay-backed block_until_ready is a no-op
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return np.asarray(leaf.ravel()[0])
+
 
     phases = args.phases.split(",")
 
@@ -92,12 +102,11 @@ def main():
             v, b["text_ids"], b["image_tensors"], b["num_image_per_seq"],
             method=model.prepare_mm_embeds,
         ))
-        prep = prep_fn(variables, batch)
-        jax.block_until_ready(prep)
+        sync(prep_fn(variables, batch))
         t0 = time.time()
         for _ in range(5):
             prep = prep_fn(variables, batch)
-        jax.block_until_ready(prep)
+        sync(prep)
         results["encode_prefill_ms"] = (time.time() - t0) / 5 * 1e3
         print("encode_prefill_ms", round(results["encode_prefill_ms"], 2),
               flush=True)
@@ -113,12 +122,12 @@ def main():
             model, v, b["text_ids"], b["image_tensors"],
             b["num_image_per_seq"], b["attention_mask"], gen_cfg, r,
         ))
-        dec_fn(variables, batch, key).block_until_ready()
+        sync(dec_fn(variables, batch, key))
         t0 = time.time()
         reps = 3
         for i in range(reps):
             out = dec_fn(variables, batch, jax.random.fold_in(key, i))
-        out.block_until_ready()
+        sync(out)
         dt = (time.time() - t0) / reps
         results["decode_tokens_per_sec"] = B * args.decode_tokens / dt
         results["decode_ms_per_token"] = dt / args.decode_tokens * 1e3
@@ -126,6 +135,36 @@ def main():
               round(results["decode_tokens_per_sec"], 1),
               "ms_per_token", round(results["decode_ms_per_token"], 2),
               flush=True)
+
+    # --- decode without MMFS cross-attention (isolates its per-step cost)
+    if "decode_novision" in phases:
+        from mm_interleaved_tpu.generation.text import generate_tokens
+
+        gen_cfg = TextGenerationConfig(
+            max_new_tokens=args.decode_tokens, eos_token_ids=(999999,),
+            pad_token_id=S.pad_token_id,
+        )
+
+        def novis(v, b, r):
+            embeds = model.apply(
+                v, b["text_ids"], method=lambda m, i: m.mm_decoder.embed(i)
+            )
+            return generate_tokens(
+                model, v, embeds, b["attention_mask"], None, None,
+                gen_cfg, r,
+            )
+
+        nv_fn = jax.jit(novis)
+        sync(nv_fn(variables, batch, key))
+        t0 = time.time()
+        reps = 3
+        for i in range(reps):
+            out = nv_fn(variables, batch, jax.random.fold_in(key, i))
+        sync(out)
+        dt = (time.time() - t0) / reps
+        results["novision_ms_per_token"] = dt / args.decode_tokens * 1e3
+        print("novision_ms_per_token",
+              round(results["novision_ms_per_token"], 2), flush=True)
 
     # --- SD denoise
     if cfg.image_decoder is not None and "image" in phases:
@@ -139,17 +178,38 @@ def main():
             num_inference_steps=args.denoise_steps, guidance_scale=3.5,
         ))
         tgt = slice(0, B)
-        gen_img(variables, ctx[tgt], ctx_mask[tgt], mmfs_vals[tgt],
-                mmfs_mask[tgt], key).block_until_ready()
+        sync(gen_img(variables, ctx[tgt], ctx_mask[tgt], mmfs_vals[tgt],
+                     mmfs_mask[tgt], key))
         t0 = time.time()
         imgs = gen_img(variables, ctx[tgt], ctx_mask[tgt], mmfs_vals[tgt],
                        mmfs_mask[tgt], key)
-        imgs.block_until_ready()
+        sync(imgs)
         dt = time.time() - t0
         results["denoise_steps_per_sec"] = args.denoise_steps / dt
         results["image_sec_per_sample"] = dt / B
         print("denoise_steps_per_sec",
               round(results["denoise_steps_per_sec"], 2), flush=True)
+
+    # --- SD denoise without MMFS injection (isolates the deformable cost)
+    if cfg.image_decoder is not None and "image_nommfs" in phases:
+        img_inputs_fn = jax.jit(lambda v, b: model.apply(
+            v, b["text_ids"], b["image_tensors"], b["num_image_per_seq"],
+            b["attention_mask"], method=model.generate_image_inputs,
+        ))
+        ctx, ctx_mask, _, _ = img_inputs_fn(variables, batch)
+        gen_img2 = jax.jit(lambda v, c, cm, r: generate_images(
+            model, v, c, cm, r,
+            num_inference_steps=args.denoise_steps, guidance_scale=3.5,
+        ))
+        tgt = slice(0, B)
+        sync(gen_img2(variables, ctx[tgt], ctx_mask[tgt], key))
+        t0 = time.time()
+        imgs = gen_img2(variables, ctx[tgt], ctx_mask[tgt], key)
+        sync(imgs)
+        dt = time.time() - t0
+        results["denoise_nommfs_steps_per_sec"] = args.denoise_steps / dt
+        print("denoise_nommfs_steps_per_sec",
+              round(results["denoise_nommfs_steps_per_sec"], 2), flush=True)
 
     # --- train step (small only)
     if args.train:
@@ -166,10 +226,11 @@ def main():
         state = trainer.init_state(jax.random.PRNGKey(0), tb)
         step_fn = trainer.compile_step(state, tb)
         state, _ = step_fn(state, trainer.shard_batch(tb))
+        sync(state.params)
         t0 = time.time()
         for _ in range(3):
             state, m = step_fn(state, trainer.shard_batch(tb))
-        jax.block_until_ready(m)
+        sync(m)
         results["train_steps_per_sec"] = 3 / (time.time() - t0)
 
     print(json.dumps({"preset": args.preset, "batch": B, **{

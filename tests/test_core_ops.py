@@ -61,6 +61,33 @@ def test_attention_causal_prefix_alignment():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
 
 
+def test_attention_segment_ids_match_dense_mask():
+    """Segment-id padding (the Pallas-eligible form) must equal the dense
+    causal+padding mask (what the cache path uses)."""
+    rng = np.random.RandomState(2)
+    B, T, H, D = 2, 8, 2, 4
+    q = jnp.array(rng.randn(B, T, H, D).astype(np.float32))
+    k = jnp.array(rng.randn(B, T, H, D).astype(np.float32))
+    v = jnp.array(rng.randn(B, T, H, D).astype(np.float32))
+    valid = jnp.array([[1, 1, 1, 1, 1, 0, 0, 0],
+                       [0, 0, 1, 1, 1, 1, 1, 1]], jnp.int32)
+
+    seg_out = dot_product_attention(
+        q, k, v, causal=True, q_segment_ids=valid, kv_segment_ids=valid,
+    )
+    qi = jnp.arange(T)[:, None]
+    ki = jnp.arange(T)[None, :]
+    dense = (ki <= qi)[None, None] & valid.astype(bool)[:, None, None, :]
+    dense_out = dot_product_attention(q, k, v, mask=dense)
+    # compare only at valid query positions (invalid ones differ: segment
+    # form lets pads attend pads, dense form lets them attend real tokens)
+    vmask = np.asarray(valid, bool)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(seg_out) * vmask, np.asarray(dense_out) * vmask,
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_sincos_pos_embed_shapes():
     assert get_2d_sincos_pos_embed(16, 4).shape == (16, 16)
     assert get_2d_sincos_pos_embed(16, 4, cls_token=True).shape == (17, 16)
