@@ -80,6 +80,56 @@ def _bilinear_gather_one_level(
     return out
 
 
+def _onehot_level(
+    value_l: jax.Array,  # [B, H, HW, D] fp32
+    loc: jax.Array,  # [B, Lq, H, P, 2] fp32
+    w: jax.Array,  # [B, Lq, H, P] fp32
+    h: int,
+    w_: int,
+) -> jax.Array:
+    """Gather-free bilinear sampling for small Lq: build the dense one-hot
+    interpolation matrix and contract on the MXU.  Equals
+    `_bilinear_gather_one_level` weighted by ``w`` and summed over P.
+    Returns [B, Lq, H, D]."""
+    B, Lq, n_heads, P, _ = loc.shape
+    hw = h * w_
+    x = loc[..., 0] * w_ - 0.5
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    idxs, wts = [], []
+    for dx, dy, cw in (
+        (0, 0, (1.0 - lx) * (1.0 - ly)),
+        (1, 0, lx * (1.0 - ly)),
+        (0, 1, (1.0 - lx) * ly),
+        (1, 1, lx * ly),
+    ):
+        ix = x0i + dx
+        iy = y0i + dy
+        valid = ((ix >= 0) & (ix < w_) & (iy >= 0) & (iy < h))
+        idxs.append(jnp.clip(iy, 0, h - 1) * w_ + jnp.clip(ix, 0, w_ - 1))
+        wts.append(jnp.where(valid, cw * w, 0.0))
+    idx = jnp.stack(idxs, axis=-1)  # [B, Lq, H, P, 4]
+    wt = jnp.stack(wts, axis=-1)
+
+    cols = jnp.arange(hw, dtype=jnp.int32)
+    onehot = (idx[..., None] == cols).astype(jnp.float32)  # [..., 4, HW]
+    W = jnp.einsum("bqhpc,bqhpcs->bqhs", wt, onehot)  # [B, Lq, H, HW]
+    return jnp.einsum(
+        "bqhs,bhsd->bqhd", W, value_l, preferred_element_type=jnp.float32
+    )
+
+
+# below this many queries the dense one-hot path beats XLA's gather
+# (measured on v5e: decode-shape gather 2.7ms vs <0.3ms dense)
+SMALL_Q_THRESHOLD = 16
+
+
 def ms_deform_attn(
     value: jax.Array,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -118,14 +168,22 @@ def ms_deform_attn(
     # [B, n_heads, S, D] for per-head gathering.
     value32 = rearrange(value32, "b s h d -> b h s d")
 
+    Lq = sampling_locations.shape[1]
+    small_q = Lq <= SMALL_Q_THRESHOLD
+
     acc = None
     start = 0
     for lid, (h, w) in enumerate(spatial_shapes):
         value_l = jax.lax.slice_in_dim(value32, start, start + h * w, axis=2)
-        sampled = _bilinear_gather_one_level(
-            value_l, loc32[:, :, :, lid], h, w
-        )  # [B, Lq, Hh, P, D]
-        contrib = (sampled * w32[:, :, :, lid, :, None]).sum(axis=3)
+        if small_q:
+            contrib = _onehot_level(
+                value_l, loc32[:, :, :, lid], w32[:, :, :, lid], h, w
+            )
+        else:
+            sampled = _bilinear_gather_one_level(
+                value_l, loc32[:, :, :, lid], h, w
+            )  # [B, Lq, Hh, P, D]
+            contrib = (sampled * w32[:, :, :, lid, :, None]).sum(axis=3)
         acc = contrib if acc is None else acc + contrib
         start += h * w
 

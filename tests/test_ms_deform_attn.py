@@ -64,7 +64,16 @@ def make_inputs(seed, B=2, Lq=8, heads=4, D=16, P=6,
 
 
 def test_forward_matches_oracle():
+    # Lq=8 -> dense one-hot small-Q path
     value, shapes, loc, w = make_inputs(0)
+    got = np.asarray(ms_deform_attn(jnp.array(value), shapes, jnp.array(loc), jnp.array(w)))
+    want = torch_oracle(value, shapes, loc, w)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_forward_matches_oracle_large_q():
+    # Lq=50 -> gather path
+    value, shapes, loc, w = make_inputs(0, Lq=50)
     got = np.asarray(ms_deform_attn(jnp.array(value), shapes, jnp.array(loc), jnp.array(w)))
     want = torch_oracle(value, shapes, loc, w)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
