@@ -55,12 +55,15 @@ def beam_search(
     # ---- prefill on B rows, then tile the cache to B*K
     from .text import extract_vision_values
 
+    from ..ops.ms_deform_attn import pallas_deform_inference
+
     cache = KVCache.create(model.cfg.llm, B, L + T)
-    (logits, _, cache), inters = model.apply(
-        variables, mm_embeds, attention_mask, mmfs_values,
-        cross_attention_mask, cache, method=model.lm_prefill,
-        mutable=["intermediates"],
-    )
+    with pallas_deform_inference():
+        (logits, _, cache), inters = model.apply(
+            variables, mm_embeds, attention_mask, mmfs_values,
+            cross_attention_mask, cache, method=model.lm_prefill,
+            mutable=["intermediates"],
+        )
     first_logp = jax.nn.log_softmax(
         logits[:, -1].astype(jnp.float32), axis=-1
     )  # [B, V]

@@ -37,11 +37,15 @@ def generate_images(
 ) -> jax.Array:
     """Sample images conditioned on LLM context; returns [B, H, W, 3] in
     [0, 1]."""
+    from ..ops.ms_deform_attn import pallas_deform_inference
+
     cfg = model.cfg.image_decoder if hasattr(model.cfg, "image_decoder") else (
         model.cfg
     )
     sched = cfg.schedule
     B = context_features.shape[0]
+    _pallas_ctx = pallas_deform_inference()
+    _pallas_ctx.__enter__()
 
     ctx, neg = model.apply(
         variables,
@@ -106,6 +110,7 @@ def generate_images(
         return latents, None
 
     latents, _ = jax.lax.scan(step, latents, (ts, ts_prev, step_rngs))
+    _pallas_ctx.__exit__()
 
     return model.apply(
         variables, latents, method=lambda m, z: decoder(m).vae_decode(z)

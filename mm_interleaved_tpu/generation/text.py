@@ -118,12 +118,15 @@ def generate_tokens(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
+    from ..ops.ms_deform_attn import pallas_deform_inference
+
     cache = KVCache.create(model.cfg.llm, B, max_len)
-    (logits, _, cache), inters = model.apply(
-        variables, mm_embeds, attention_mask, mmfs_values,
-        cross_attention_mask, cache, method=model.lm_prefill,
-        mutable=["intermediates"],
-    )
+    with pallas_deform_inference():
+        (logits, _, cache), inters = model.apply(
+            variables, mm_embeds, attention_mask, mmfs_values,
+            cross_attention_mask, cache, method=model.lm_prefill,
+            mutable=["intermediates"],
+        )
     vision_value_cache = (
         extract_vision_values(model, inters)
         if mmfs_values is not None else None

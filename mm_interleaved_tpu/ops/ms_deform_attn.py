@@ -31,16 +31,18 @@ from einops import rearrange
 
 
 def _bilinear_gather_one_level(
-    value_l: jax.Array,  # [B, H_heads, HW, D] (fp32)
+    value_l: jax.Array,  # [B, HW, H_heads, D] (any float dtype)
     loc: jax.Array,  # [B, Lq, H_heads, P, 2] in [0,1] (x, y) (fp32)
     h: int,
     w: int,
 ) -> jax.Array:
     """Bilinear sample one pyramid level at the given normalised locations.
 
-    Returns [B, Lq, H_heads, P, D] with zeros outside the grid.
+    Returns [B, Lq, H_heads, P, D] fp32 with zeros outside the grid.
+    The (small) gathered values upcast to fp32 — never the whole table.
     """
     B, Lq, n_heads, P, _ = loc.shape
+    value_l = rearrange(value_l, "b s h d -> b h s d")
 
     # align_corners=False mapping from normalised [0,1] to texel coordinates.
     x = loc[..., 0] * w - 0.5
@@ -75,13 +77,13 @@ def _bilinear_gather_one_level(
     gathered = jnp.take_along_axis(value_l, idx[..., None], axis=2)
     gathered = rearrange(
         gathered, "b h (q p c) d -> b q h p c d", q=Lq, p=P, c=4
-    )
+    ).astype(jnp.float32)
     out = (gathered * wgt[..., None]).sum(axis=-2)  # [B, Lq, Hh, P, D]
     return out
 
 
 def _onehot_level(
-    value_l: jax.Array,  # [B, H, HW, D] fp32
+    value_l: jax.Array,  # [B, HW, H, D] (any float dtype)
     loc: jax.Array,  # [B, Lq, H, P, 2] fp32
     w: jax.Array,  # [B, Lq, H, P] fp32
     h: int,
@@ -121,13 +123,45 @@ def _onehot_level(
     onehot = (idx[..., None] == cols).astype(jnp.float32)  # [..., 4, HW]
     W = jnp.einsum("bqhpc,bqhpcs->bqhs", wt, onehot)  # [B, Lq, H, HW]
     return jnp.einsum(
-        "bqhs,bhsd->bqhd", W, value_l, preferred_element_type=jnp.float32
+        "bqhs,bshd->bqhd", W, value_l.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
     )
 
 
 # below this many queries the dense one-hot path beats XLA's gather
 # (measured on v5e: decode-shape gather 2.7ms vs <0.3ms dense)
 SMALL_Q_THRESHOLD = 16
+
+# inference-only Pallas kernel dispatch (the kernel has no backward; the
+# generation runtimes flip this around their trace, training never sees it)
+_PALLAS_INFERENCE_MODE = False
+
+
+class pallas_deform_inference:
+    """Context manager enabling the Pallas deformable kernel for large-Q
+    inference calls traced inside it (measured 1.4-2.1x over the XLA gather
+    on v5e at UNet/prefill shapes)."""
+
+    def __enter__(self):
+        global _PALLAS_INFERENCE_MODE
+        self._prev = _PALLAS_INFERENCE_MODE
+        _PALLAS_INFERENCE_MODE = True
+
+    def __exit__(self, *exc):
+        global _PALLAS_INFERENCE_MODE
+        _PALLAS_INFERENCE_MODE = self._prev
+
+
+def _pallas_eligible(Lq: int) -> bool:
+    import os
+
+    if not _PALLAS_INFERENCE_MODE:
+        return False
+    if os.environ.get("MMI_DISABLE_PALLAS_DEFORM"):
+        return False
+    return (
+        jax.default_backend() in ("tpu", "axon") and Lq >= 256
+    )
 
 
 def ms_deform_attn(
@@ -160,21 +194,27 @@ def ms_deform_attn(
     sizes = [h * w for (h, w) in spatial_shapes]
     assert sum(sizes) == S, f"spatial shapes {spatial_shapes} != S={S}"
 
+    Lq = sampling_locations.shape[1]
+    if _pallas_eligible(Lq):
+        from .ms_deform_attn_pallas import ms_deform_attn_pallas
+
+        max_hw = max(h * w for h, w in spatial_shapes)
+        tile_q = 64 if max_hw > 2048 else 128
+        return ms_deform_attn_pallas(
+            value, tuple(spatial_shapes), sampling_locations,
+            attention_weights, tile_q=tile_q,
+        )
+
     out_dtype = value.dtype
-    value32 = value.astype(jnp.float32)
     loc32 = sampling_locations.astype(jnp.float32)
     w32 = attention_weights.astype(jnp.float32)
 
-    # [B, n_heads, S, D] for per-head gathering.
-    value32 = rearrange(value32, "b s h d -> b h s d")
-
-    Lq = sampling_locations.shape[1]
     small_q = Lq <= SMALL_Q_THRESHOLD
 
     acc = None
     start = 0
     for lid, (h, w) in enumerate(spatial_shapes):
-        value_l = jax.lax.slice_in_dim(value32, start, start + h * w, axis=2)
+        value_l = jax.lax.slice_in_dim(value, start, start + h * w, axis=1)
         if small_q:
             contrib = _onehot_level(
                 value_l, loc32[:, :, :, lid], w32[:, :, :, lid], h, w
