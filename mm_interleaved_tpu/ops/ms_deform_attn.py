@@ -198,11 +198,9 @@ def ms_deform_attn(
     if _pallas_eligible(Lq):
         from .ms_deform_attn_pallas import ms_deform_attn_pallas
 
-        max_hw = max(h * w for h, w in spatial_shapes)
-        tile_q = 64 if max_hw > 2048 else 128
         return ms_deform_attn_pallas(
             value, tuple(spatial_shapes), sampling_locations,
-            attention_weights, tile_q=tile_q,
+            attention_weights, tile_q=128,
         )
 
     out_dtype = value.dtype

@@ -2,24 +2,26 @@
 
 The XLA formulation (`ops/ms_deform_attn.py`) lowers to per-element gathers —
 the worst case for the TPU vector unit and the measured bottleneck of both
-the ViT-Adapter and the UNet MMFS blocks.  This kernel reformulates bilinear
-sampling as an **on-the-fly one-hot interpolation matrix** built in VMEM and
-contracted on the MXU (docs/KERNELS.md option 1; same numerics contract as
-the XLA oracle, tested in interpret mode against it):
+the ViT-Adapter and the UNet MMFS blocks.  This kernel exploits that bilinear
+interpolation is **separable**: the 2D one-hot over H*W texels factors into a
+row-selection matmul and a column-selection reduction
+(docs/KERNELS.md; same numerics contract as the XLA oracle, tested in
+interpret mode against it):
 
-  per (batch, head, query-tile):
-    for each level l (static):
-      W[TILE_Q, HW_l] = sum_{point, corner} att_w * bilin_w * onehot(texel)
-      acc += W @ value_l[HW_l, D]          # MXU
+  per (batch, head, query-tile), per level, per point:
+    R[TILE_Q, H_l]   = wy0*onehot(y0) + wy1*onehot(y0+1)     # VPU, H_l cols
+    T[TILE_Q, W_l*D] = R @ value_l.reshape(H_l, W_l*D)       # MXU
+    C[TILE_Q, W_l]   = a_p*(wx0*onehot(x0) + wx1*onehot(x0+1))
+    acc[TILE_Q, D]  += sum_w C[:, :, None] * T[TILE_Q, W_l, D]
 
-No gathers, no HBM intermediates; the attention-weight multiply and the sum
-over points fold into W.
+One-hot build cost scales with H_l + W_l instead of H_l*W_l; the heavy lifting
+is dense MXU work.  No gathers, no HBM intermediates.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,77 +29,91 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(loc_ref, w_ref, value_ref, out_ref, *, level_shapes, n_points):
+def _kernel(loc_ref, w_ref, *refs, level_shapes, n_points, head_dim):
     """Block shapes (leading grid singletons kept by BlockSpec):
     loc_ref:   [1, 1, TILE_Q, L, P, 2] (f32)
+    refs:      one [1, 1, H_l, W_l*D] value ref per level (host-reshaped —
+               Mosaic can't retile [HW, D] -> [H, W*D] in-kernel),
+               then out_ref [1, 1, TILE_Q, D]
     w_ref:     [1, 1, TILE_Q, L, P]    (f32)
-    value_ref: [1, 1, S, D]            (value dtype)
-    out_ref:   [1, 1, TILE_Q, D]       (f32)
 
-    The one-hot accumulation runs as a `fori_loop` over the 4P
-    (point, corner) slots.  Mosaic supports neither dynamic value slices nor
-    dynamic lane offsets, so the loop always reads lane slot 0 of a carried
-    [TILE_Q, 4P] buffer and `pltpu.roll`s it by one each iteration.
+    Everything is strictly 2D for Mosaic: per point,
+    ``T = R @ V[H, W*D]`` selects+blends rows, ``C @ E`` expands the column
+    weights to the w-major [W*D] layout, and the per-level sum folds back to
+    [TILE_Q, D] with one static fold matmul ``@ G``.
     """
+    value_refs = refs[: len(level_shapes)]
+    out_ref = refs[len(level_shapes)]
     tile_q = loc_ref.shape[2]
+    d = head_dim
     acc = None
-    start = 0
-    n_slots = 4 * n_points
     for lid, (h, w) in enumerate(level_shapes):
-        hw = h * w
-        value_l = value_ref[0, 0, pl.ds(start, hw), :]  # [HW, D]
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, hw), 1)
+        wd = w * d
+        value_mat = value_refs[lid][0, 0, :, :]  # [H_padded, W*D]
+        hp = value_mat.shape[0]  # rows padded to the sublane multiple
 
-        # vectorised (point x corner) precompute -> [TILE_Q, 4P]
-        x = loc_ref[0, 0, :, lid, :, 0] * w - 0.5  # [TILE_Q, P]
-        y = loc_ref[0, 0, :, lid, :, 1] * h - 0.5
-        aw = w_ref[0, 0, :, lid, :]  # [TILE_Q, P]
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        lx = x - x0
-        ly = y - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        idx_cols, wt_cols = [], []
-        for dx, dy, cw in (
-            (0, 0, (1.0 - lx) * (1.0 - ly)),
-            (1, 0, lx * (1.0 - ly)),
-            (0, 1, (1.0 - lx) * ly),
-            (1, 1, lx * ly),
-        ):
-            ix = x0i + dx
-            iy = y0i + dy
-            valid = (
-                (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-            ).astype(jnp.float32)
-            idx_cols.append(
-                jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
-            )
-            wt_cols.append(aw * cw * valid)
-        idx_all = jnp.concatenate(idx_cols, axis=1)  # [TILE_Q, 4P]
-        wt_all = jnp.concatenate(wt_cols, axis=1)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_q, hp), 1)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_q, w), 1)
+        # E[w, w*D + j] = 1 (expand column weights over the D lane groups)
+        e_rows = jax.lax.broadcasted_iota(jnp.int32, (w, wd), 0)
+        e_cols = jax.lax.broadcasted_iota(jnp.int32, (w, wd), 1)
+        E = (e_cols // d == e_rows).astype(jnp.float32)
+        # G[w*D + j, d] = (j == d)  (fold the w-major groups back to D)
+        g_rows = jax.lax.broadcasted_iota(jnp.int32, (wd, d), 0)
+        g_cols = jax.lax.broadcasted_iota(jnp.int32, (wd, d), 1)
+        G = (g_rows % d == g_cols).astype(jnp.float32)
+
+        # per-point scalars as [TILE_Q, P] slabs; the point loop is a
+        # fori_loop reading lane slot 0 and rolling (keeps the Mosaic graph
+        # size independent of P — fully unrolled P=8 overflows the backend)
+        xs = loc_ref[0, 0, :, lid, :, 0] * w - 0.5  # [TILE_Q, P]
+        ys = loc_ref[0, 0, :, lid, :, 1] * h - 0.5
+        aws = w_ref[0, 0, :, lid, :]  # [TILE_Q, P]
+        xs0 = jnp.floor(xs)
+        ys0 = jnp.floor(ys)
+        lxs = xs - xs0
+        lys = ys - ys0
+        xs0i = xs0.astype(jnp.int32)
+        ys0i = ys0.astype(jnp.int32)
 
         def body(_, carry):
-            wmat, idx_roll, wt_roll = carry
-            idx_k = idx_roll[:, 0:1]  # static lane slice
-            wt_k = wt_roll[:, 0:1]
-            wmat = wmat + jnp.where(col == idx_k, wt_k, 0.0)
-            return (
-                wmat,
-                pltpu.roll(idx_roll, idx_roll.shape[1] - 1, 1),
-                pltpu.roll(wt_roll, wt_roll.shape[1] - 1, 1),
-            )
+            lvl, lxs, lys, xs0i, ys0i, aws = carry
+            lx = lxs[:, 0:1]
+            ly = lys[:, 0:1]
+            x0i = xs0i[:, 0:1]
+            y0i = ys0i[:, 0:1]
+            aw = aws[:, 0:1]
 
-        wmat, _, _ = jax.lax.fori_loop(
-            0, n_slots, body,
-            (jnp.zeros((tile_q, hw), jnp.float32), idx_all, wt_all),
+            # row selection [TILE_Q, Hp]; out-of-grid rows match nothing,
+            # which is exactly the oracle's zeros-padding semantics
+            R = jnp.where(row_iota == y0i, 1.0 - ly, 0.0) + jnp.where(
+                row_iota == y0i + 1, ly, 0.0
+            )
+            # column selection [TILE_Q, W] (attention weight folded in),
+            # expanded to the w-major [W*D] layout on the MXU
+            C = aw * (
+                jnp.where(col_iota == x0i, 1.0 - lx, 0.0)
+                + jnp.where(col_iota == x0i + 1, lx, 0.0)
+            )
+            T = jnp.dot(
+                R.astype(value_mat.dtype), value_mat,
+                preferred_element_type=jnp.float32,
+            )  # [TILE_Q, W*D]
+            C_rep = jnp.dot(C, E, preferred_element_type=jnp.float32)
+            lvl = lvl + C_rep * T
+
+            def rl(x):
+                return pltpu.roll(x, x.shape[1] - 1, 1)
+
+            return (lvl, rl(lxs), rl(lys), rl(xs0i), rl(ys0i), rl(aws))
+
+        lvl, *_ = jax.lax.fori_loop(
+            0, n_points, body,
+            (jnp.zeros((tile_q, wd), jnp.float32),
+             lxs, lys, xs0i, ys0i, aws),
         )
-        contrib = jnp.dot(
-            wmat.astype(value_l.dtype), value_l,
-            preferred_element_type=jnp.float32,
-        )
+        contrib = jnp.dot(lvl, G, preferred_element_type=jnp.float32)
         acc = contrib if acc is None else acc + contrib
-        start += hw
     out_ref[0, 0, :, :] = acc
 
 
@@ -109,11 +125,15 @@ def ms_deform_attn_pallas(
     level_shapes: Tuple[Tuple[int, int], ...],
     sampling_locations: jax.Array,  # [B, Q, H, L, P, 2]
     attention_weights: jax.Array,  # [B, Q, H, L, P]
-    tile_q: int = 256,
+    tile_q: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
     """Drop-in replacement for `ms_deform_attn` (same contract); returns
-    [B, Q, H*D] in value's dtype."""
+    [B, Q, H*D] in value's dtype.
+
+    Out-of-grid sampling contributes zero, matching the oracle: an on-border
+    corner pairs a valid row with an invalid column (or vice versa), and its
+    one-hot factor is zero on the invalid axis."""
     B, S, H, D = value.shape
     Q = sampling_locations.shape[1]
     L = len(level_shapes)
@@ -132,14 +152,40 @@ def ms_deform_attn_pallas(
     Qp = Q + q_pad
     n_tiles = Qp // tile_q
 
-    # layouts: fold head into a leading grid-friendly axis
     loc = loc.transpose(0, 2, 1, 3, 4, 5)  # [B, H, Qp, L, P, 2]
     wts = wts.transpose(0, 2, 1, 3, 4)  # [B, H, Qp, L, P]
+
+    # per-level [B, H, H_l(padded), W_l*D] value arrays (host-side reshape;
+    # Mosaic can't retile in-kernel).  Rows pad to the bf16 sublane multiple
+    # (16) — the row one-hot never selects padded rows, so zeros are safe.
+    sublane = 16
     val = value.transpose(0, 2, 1, 3)  # [B, H, S, D]
+    level_vals = []
+    padded_rows = []
+    start = 0
+    for (h_l, w_l) in level_shapes:
+        v = jax.lax.slice_in_dim(val, start, start + h_l * w_l, axis=2)
+        v = v.reshape(B, H, h_l, w_l * D)
+        pad_h = (-h_l) % sublane
+        if pad_h:
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+        padded_rows.append(h_l + pad_h)
+        level_vals.append(v)
+        start += h_l * w_l
+
+    level_specs = [
+        pl.BlockSpec(
+            (1, 1, hp, w_l * D),
+            lambda b, h, t: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for hp, (h_l, w_l) in zip(padded_rows, level_shapes)
+    ]
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, level_shapes=tuple(level_shapes), n_points=P
+            _kernel, level_shapes=tuple(level_shapes), n_points=P,
+            head_dim=D,
         ),
         grid=(B, H, n_tiles),
         in_specs=[
@@ -153,12 +199,7 @@ def ms_deform_attn_pallas(
                 lambda b, h, t: (b, h, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, S, D),
-                lambda b, h, t: (b, h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        ] + level_specs,
         out_specs=pl.BlockSpec(
             (1, 1, tile_q, D),
             lambda b, h, t: (b, h, t, 0),
@@ -169,7 +210,7 @@ def ms_deform_attn_pallas(
     )(
         loc.reshape(B, H, n_tiles * tile_q, L, P, 2),
         wts.reshape(B, H, n_tiles * tile_q, L, P),
-        val,
+        *level_vals,
     )
     out = out[:, :, :Q].transpose(0, 2, 1, 3)  # [B, Q, H, D]
     return out.reshape(B, Q, H * D).astype(value.dtype)
