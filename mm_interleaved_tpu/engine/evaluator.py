@@ -286,7 +286,7 @@ class Evaluator:
                     , np.float32) / 255.0
                     for a in arr
                 ])
-                image_tensors = np.asarray(image_tensors)
+                image_tensors = np.array(image_tensors)  # writable copy
                 for b in range(B):
                     if slot[b] >= 0:
                         image_tensors[b, slot[b]] = resized[b]
