@@ -200,14 +200,17 @@ def generate_texts(
 ) -> jax.Array:
     """End-to-end `generate_texts` (reference mm_interleaved.py:598-664):
     encode images, scatter into the prompt, decode new tokens."""
+    from ..ops.ms_deform_attn import pallas_deform_inference
+
     if attention_mask is None:
         attention_mask = (
             text_ids != model.cfg.special.pad_token_id
         ).astype(jnp.int32)
-    prep = model.apply(
-        variables, text_ids, image_tensors, num_image_per_seq,
-        method=model.prepare_mm_embeds,
-    )
+    with pallas_deform_inference():
+        prep = model.apply(
+            variables, text_ids, image_tensors, num_image_per_seq,
+            method=model.prepare_mm_embeds,
+        )
     return generate_tokens(
         model, variables, prep["mm_embeds"], attention_mask,
         prep["mmfs_values"], prep["cross_attention_mask"], cfg, rng,

@@ -322,21 +322,27 @@ class MMInterleaved(nn.Module):
         self, text_ids, image_tensors, num_image_per_seq, attention_mask=None,
     ):
         """Full prefix forward -> (context, mmfs) inputs for SD sampling
-        (reference generate_images, mm_interleaved.py:520-596)."""
+        (reference generate_images, mm_interleaved.py:520-596).
+
+        Inference-only entry point, so the Pallas deformable kernel is
+        enabled for the encoder/prefill deformable calls."""
+        from ..ops.ms_deform_attn import pallas_deform_inference
+
         c = self.cfg
         if attention_mask is None:
             attention_mask = (text_ids != c.special.pad_token_id).astype(
                 jnp.int32
             )
-        prep = self.prepare_mm_embeds(
-            text_ids, image_tensors, num_image_per_seq
-        )
-        hidden, _ = self.mm_decoder(
-            prep["mm_embeds"],
-            attention_mask=attention_mask,
-            vision_hidden_states=prep["mmfs_values"],
-            cross_attention_mask=prep["cross_attention_mask"],
-        )
+        with pallas_deform_inference():
+            prep = self.prepare_mm_embeds(
+                text_ids, image_tensors, num_image_per_seq
+            )
+            hidden, _ = self.mm_decoder(
+                prep["mm_embeds"],
+                attention_mask=attention_mask,
+                vision_hidden_states=prep["mmfs_values"],
+                cross_attention_mask=prep["cross_attention_mask"],
+            )
         return self._image_decoder_inputs(
             hidden, text_ids, prep["soi_pos"], prep["pyramid"],
             num_image_per_seq,
