@@ -38,8 +38,10 @@ def get_2d_sincos_pos_embed(
     grid_w = np.arange(grid_size, dtype=np.float32)
     grid = np.meshgrid(grid_w, grid_h)  # w goes first (matches reference)
     grid = np.stack(grid, axis=0).reshape([2, 1, grid_size, grid_size])
-    emb_h = _sincos_from_grid(embed_dim // 2, grid[0])
-    emb_w = _sincos_from_grid(embed_dim // 2, grid[1])
+    # first half of the dim encodes H (grid[1]), second half W (grid[0]) —
+    # reference utils/pos_embed.py:65-74; the order matters for weight parity
+    emb_h = _sincos_from_grid(embed_dim // 2, grid[1])
+    emb_w = _sincos_from_grid(embed_dim // 2, grid[0])
     pos_embed = np.concatenate([emb_h, emb_w], axis=1)
     if cls_token:
         pos_embed = np.concatenate(

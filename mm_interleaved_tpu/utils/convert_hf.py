@@ -24,10 +24,31 @@ def _conv(w):  # OIHW -> HWIO
     return np.transpose(np.asarray(w), (2, 3, 1, 0))
 
 
+def convert_mmfs(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """Reference `MMFS` module state dict -> our flax `MMFS` params
+    (reference models/utils/ops/modules/mmfs.py:86-99: sampling_offsets,
+    ignore_token [1,1,1,dv], dynamic_offset_mask, attention_weights,
+    value_proj, output_proj, query_relpos)."""
+    p: Dict = {}
+    for name in ("sampling_offsets", "dynamic_offset_mask",
+                 "attention_weights", "value_proj", "output_proj"):
+        p[name] = {
+            "kernel": _t(sd[f"{prefix}{name}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}{name}.bias"]),
+        }
+    p["ignore_token"] = np.asarray(sd[f"{prefix}ignore_token"]).reshape(-1)
+    p["query_relpos"] = {
+        "embedding": np.asarray(sd[f"{prefix}query_relpos.weight"])
+    }
+    return p
+
+
 def convert_llama(sd: Dict[str, np.ndarray], num_layers: int,
                   prefix: str = "model.") -> Dict:
     """HF `LlamaModel` state dict -> our `LlamaModel` params
-    (embed_tokens, layers_N/{self_attn,mlp,norms}, norm)."""
+    (embed_tokens, layers_N/{self_attn,mlp,norms}, norm).  Layers carrying the
+    reference's `llama_cross_attn` MMFS block (modeling_llama_mmfs.py:311-367)
+    are converted too: gate, norm1/norm2 RMSNorms and the inner MMFS module."""
     p: Dict = {}
     p["embed_tokens"] = {
         "embedding": np.asarray(sd[f"{prefix}embed_tokens.weight"])
@@ -52,6 +73,17 @@ def convert_llama(sd: Dict[str, np.ndarray], num_layers: int,
                 )
             },
         }
+        if f"{lp}llama_cross_attn.gate" in sd:
+            layer["llama_cross_attn"] = {
+                "gate": np.asarray(sd[f"{lp}llama_cross_attn.gate"]),
+                "norm1": {
+                    "weight": np.asarray(sd[f"{lp}llama_cross_attn.norm1.weight"])
+                },
+                "norm2": {
+                    "weight": np.asarray(sd[f"{lp}llama_cross_attn.norm2.weight"])
+                },
+                "attn": convert_mmfs(sd, f"{lp}llama_cross_attn.attn."),
+            }
         p[f"layers_{i}"] = layer
     p["norm"] = {"weight": np.asarray(sd[f"{prefix}norm.weight"])}
     return p
