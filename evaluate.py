@@ -13,6 +13,8 @@ from __future__ import annotations
 import argparse
 import os
 
+import numpy as np
+
 
 def build_eval_dataset(ds_cfg, model_cfg, tokenizer):
     from mm_interleaved_tpu.data.collators import (
@@ -111,6 +113,110 @@ def build_eval_dataset(ds_cfg, model_cfg, tokenizer):
             max_num_images=model_cfg.max_num_images,
         )
         mode = "generate_storytelling"
+    elif name in ("nocaps", "flickr30k"):
+        from mm_interleaved_tpu.data.datasets_bench import (
+            Flickr30KDataset,
+            NoCapsDataset,
+        )
+
+        cls = NoCapsDataset if name == "nocaps" else Flickr30KDataset
+        ds = cls(
+            ds_cfg["annt_file"], ds_cfg["data_root"], transform,
+            total_length=ds_cfg.get("total_length"),
+        )
+        coll = ImageTextPairCollator(
+            tokenizer, tokenizer.special,
+            num_img_token=model_cfg.num_img_token,
+            seq_len=ds_cfg.get("seq_len", 256), mode="generate_texts",
+            instr_prompts=ds_cfg.get("instr_prompts"),
+        )
+        mode = "generate_texts"
+    elif name == "image2paragraph":
+        from mm_interleaved_tpu.data.datasets_bench import (
+            Image2ParagraphDataset,
+        )
+
+        ds = Image2ParagraphDataset(
+            ds_cfg["annt_root"], ds_cfg["data_root"], transform,
+            phase=ds_cfg.get("phase", "test"),
+            total_length=ds_cfg.get("total_length"),
+        )
+        coll = ImageTextPairCollator(
+            tokenizer, tokenizer.special,
+            num_img_token=model_cfg.num_img_token,
+            seq_len=ds_cfg.get("seq_len", 256), mode="generate_texts",
+            instr_prompts=ds_cfg.get("instr_prompts"),
+        )
+        mode = "generate_texts"
+    elif name == "lncoco":
+        from mm_interleaved_tpu.data.datasets_bench import LNCOCODataset
+
+        ds = LNCOCODataset(
+            ds_cfg["annt_root"], ds_cfg["data_root"], transform,
+            total_length=ds_cfg.get("total_length"),
+            image_only=ds_cfg.get("image_only", False),
+        )
+        coll = ImageTextPairCollator(
+            tokenizer, tokenizer.special,
+            num_img_token=model_cfg.num_img_token,
+            seq_len=ds_cfg.get("seq_len", 256), mode="generate_images",
+        )
+        mode = "generate_images"
+    elif name in ("vist", "pororo", "flintstones", "ade20k"):
+        from mm_interleaved_tpu.data import datasets_bench as B
+        from mm_interleaved_tpu.data.collators_extra import (
+            MultiImageCollator,
+            StoryCollator,
+        )
+
+        collate_mode = ds_cfg.get("collate_mode", "generate_images")
+        if name == "vist":
+            ds = B.VISTDataset(
+                ds_cfg["data_root"], ds_cfg["annt_root"], transform,
+                phase=ds_cfg.get("phase", "val"),
+                collate_mode=collate_mode,
+                round_range=ds_cfg.get("round_range", "last"),
+                context_type=ds_cfg.get("context_type", "multi_modal"),
+                total_length=ds_cfg.get("total_length"),
+            )
+        elif name == "pororo":
+            ds = B.PororoDataset(
+                ds_cfg["data_root"], ds_cfg["annt_root"], transform,
+                phase=ds_cfg.get("phase", "test"),
+                context_type=ds_cfg.get("context_type", "multi_modal"),
+                total_length=ds_cfg.get("total_length"),
+            )
+        elif name == "flintstones":
+            ds = B.FlintStonesDataset(
+                ds_cfg["data_root"], ds_cfg["annt_root"], transform,
+                phase=ds_cfg.get("phase", "test"),
+                context_type=ds_cfg.get("context_type", "multi_modal"),
+                total_length=ds_cfg.get("total_length"),
+            )
+        else:  # ade20k
+            ds = B.ADE20kDataset(
+                ds_cfg["data_root"], ds_cfg["annt_root"], transform,
+                phase=ds_cfg.get("phase", "validation"),
+                total_length=ds_cfg.get("total_length"),
+            )
+        if name == "vist" and collate_mode == "generate_texts":
+            coll = MultiImageCollator(
+                tokenizer, tokenizer.special,
+                num_img_token=model_cfg.num_img_token,
+                seq_len=ds_cfg.get("seq_len", 1024),
+                max_num_images=model_cfg.max_num_images,
+                mode="generate",
+            )
+            mode = "generate_texts"
+        else:
+            coll = StoryCollator(
+                tokenizer, tokenizer.special,
+                num_img_token=model_cfg.num_img_token,
+                seq_len=ds_cfg.get("seq_len", 1024),
+                max_num_images=model_cfg.max_num_images,
+            )
+            mode = ("generate_segm" if name == "ade20k"
+                    else "generate_storytelling")
     else:
         raise ValueError(name)
     return ds, coll, mode
@@ -148,12 +254,28 @@ def main():
         EvalConfig(
             batch_size=ev_cfg.get("batch_size", 8),
             max_new_tokens=ev_cfg.get("max_new_tokens", 30),
+            num_beams=ev_cfg.get("num_beams", 1),
+            repetition_penalty=ev_cfg.get("repetition_penalty", 1.0),
+            length_penalty=ev_cfg.get("length_penalty", 1.0),
             num_inference_steps=ev_cfg.get("num_inference_steps", 30),
             guidance_scale=ev_cfg.get("guidance_scale", 3.5),
+            num_candidates=ev_cfg.get("num_candidates", 1),
             output_dir=output_dir,
             max_batches=ev_cfg.get("max_batches"),
         ),
     )
+
+    # CLIP-feature extractor for FID / rerank / i2i similarity, built from
+    # the flagship's own visual tokenizer ViT (CLIP-FID variant); an
+    # InceptionV3 orbax checkpoint can be pointed to via evaluation.fid
+    feature_fn = None
+    if ev_cfg.get("clip_fid", False):
+        from mm_interleaved_tpu.utils.fid import CLIPViTFeatures
+
+        vit_params = variables["params"]["visual_tokenizer"]["encoder"]
+        feature_fn = CLIPViTFeatures(
+            model_cfg.visual.encoder.vit, {"params": vit_params},
+        )
 
     for ds_cfg in cfg.get("data", {}).get("val", []):
         ds, coll, mode = build_eval_dataset(ds_cfg, model_cfg, tokenizer)
@@ -168,14 +290,26 @@ def main():
         elif mode == "generate_vqa":
             result = evaluator.evaluate_vqa(batches, dataset_name=name)
         elif mode == "generate_images":
-            result = evaluator.evaluate_t2i(batches, dataset_name=name)
+            result = evaluator.evaluate_t2i(
+                batches, dataset_name=name, feature_fn=feature_fn,
+            )
         elif mode == "generate_scores":
             result = evaluator.evaluate_ranking(batches, dataset_name=name)
         elif mode == "generate_grounding":
             result = evaluator.evaluate_grounding(batches, dataset_name=name)
         elif mode == "generate_storytelling":
             result = evaluator.evaluate_storytelling(
-                batches, dataset_name=name
+                batches, dataset_name=name, feature_fn=feature_fn,
+            )
+        elif mode == "generate_segm":
+            from PIL import Image as PILImage
+
+            gt = {
+                i: np.asarray(PILImage.open(ds.gt_id_to_path(i)))
+                for i in range(len(ds))
+            }
+            result = evaluator.evaluate_segm2img(
+                batches, gt, segment_fn=None, dataset_name=name,
             )
         else:
             raise ValueError(mode)

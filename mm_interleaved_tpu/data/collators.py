@@ -261,13 +261,24 @@ class ImageTextPairCollator:
 
 @dataclasses.dataclass
 class VQACollator:
-    """VQA eval collator (reference collator.py:519-723)."""
+    """VQA eval collator (reference collator.py:519-723), with few-shot
+    in-context examples (``{few_shot_example}`` placeholder semantics and
+    the reference default template ``"Question: {question} Short answer:
+    {answer}{eos_token}"``, collator.py:63-67, 617-633): exemplar images
+    come first, then the query image."""
 
     tokenizer: object
     special: SpecialIds
     num_img_token: int = 64
     seq_len: int = 320
     instr_prompts: Optional[List[str]] = None
+    few_shot_k: int = 0
+    few_shot_template: str = (
+        "Question: {question} Short answer: {answer}{eos_token}"
+    )
+    train_dataset: Optional[object] = None
+    rices: Optional[object] = None
+    few_shot_seed: int = 0
 
     def __post_init__(self):
         self.instr = self.instr_prompts or [
@@ -277,7 +288,38 @@ class VQACollator:
             "",
         ]
 
-    def __call__(self, data_list):
+    def _few_shot(self, query_image, rng):
+        """(example_string, example_images) — RICES top-k or random train
+        samples (reference get_few_shot_samples, collator.py:681-723)."""
+        if self.few_shot_k <= 0:
+            return "", []
+        if self.rices is not None:
+            examples = self.rices.get_examples(
+                query_image[None], self.few_shot_k
+            )[0]
+        else:
+            assert self.train_dataset is not None
+            rng = rng or np.random.RandomState(self.few_shot_seed)
+            idxs = rng.choice(
+                len(self.train_dataset), self.few_shot_k, replace=False
+            )
+            examples = [self.train_dataset[int(i)] for i in idxs]
+        img_block = _image_subseq(self.num_img_token)
+        with_image = "{image}" in self.few_shot_template
+        eos = getattr(self.tokenizer, "eos_token", "") or ""
+        parts, images = [], []
+        for ex in examples:
+            img, question, answers = ex[0], ex[1], ex[2]
+            answer = answers[0] if isinstance(answers, (list, tuple)) \
+                else answers
+            fields = dict(question=question, answer=answer, eos_token=eos)
+            if with_image:
+                fields["image"] = img_block
+                images.append(img[0] if isinstance(img, tuple) else img)
+            parts.append(self.few_shot_template.format(**fields))
+        return "".join(parts), images
+
+    def __call__(self, data_list, rng: Optional[np.random.RandomState] = None):
         assis, user, sys = self.instr
         img_block = _image_subseq(self.num_img_token)
         texts, enc_imgs, meta = [], [], []
@@ -285,11 +327,17 @@ class VQACollator:
             images_tensor, question, answer, index = data
             enc = (images_tensor[0] if isinstance(images_tensor, tuple)
                    else images_tensor)
-            texts.append(
-                f"{sys} {user.format(image=img_block, question=question)}"
-                f" {assis}".strip()
-            )
-            enc_imgs.append(enc[None])
+            shot_text, shot_imgs = self._few_shot(enc, rng)
+            fields = dict(image=img_block, question=question)
+            if "{few_shot_example}" in user:
+                fields["few_shot_example"] = shot_text
+                body = user.format(**fields)
+            else:
+                body = shot_text + user.format(**fields)
+            texts.append(f"{sys} {body} {assis}".strip())
+            enc_imgs.append(np.stack(
+                [np.asarray(im) for im in shot_imgs] + [np.asarray(enc)]
+            ))
             meta.append((index, question, answer))
         rows = [self.tokenizer.encode(t, add_bos=True) for t in texts]
         length = min(self.seq_len, max(len(r) for r in rows))
@@ -301,7 +349,7 @@ class VQACollator:
             _pad_1d(np.ones(len(r), np.int32), length, 0, left=True)
             for r in rows
         ]).astype(np.int32)
-        imgs, counts = _stack_images(enc_imgs, 1)
+        imgs, counts = _stack_images(enc_imgs, 1 + max(0, self.few_shot_k))
         return dict(
             text_ids=ids, attention_mask=att, image_tensors=imgs,
             num_image_per_seq=counts, meta=meta,

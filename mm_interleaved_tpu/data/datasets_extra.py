@@ -231,9 +231,12 @@ class WeightedConcatDataset:
 # images map back to the nearest palette class for mIoU.
 
 def ade20k_palette(num_classes: int = 150) -> np.ndarray:
-    """Deterministic distinct colour palette [num_classes, 3] uint8."""
-    rng = np.random.RandomState(0)
-    return rng.randint(0, 255, size=(num_classes, 3), dtype=np.uint8)
+    """The official ADE20k colour palette (reference ade20k.py:178-204):
+    first ``num_classes`` class colours, skipping the row-0 unlabeled
+    entry. [num_classes, 3] uint8."""
+    from .datasets_bench import ade20k_official_palette
+
+    return ade20k_official_palette()[1 : num_classes + 1]
 
 
 def segm_to_rgb(segm: np.ndarray, palette: np.ndarray) -> np.ndarray:

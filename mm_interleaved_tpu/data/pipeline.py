@@ -233,26 +233,68 @@ def build_train_iterator(
     )
     batch_size = data_cfg.get("per_device_batch_size", 2)
 
-    def batches() -> Iterator[Dict]:
-        epoch = 0
-        while True:
-            mix.set_epoch(epoch)
-            buf = []
-            for row in mix:
-                buf.append(row)
-                if len(buf) == batch_size:
-                    yield collator(buf)
-                    buf = []
-            epoch += 1
-
-    it = batches()
+    it = StatefulTrainIterator(mix, collator, batch_size)
     first = next(it)
+    # rewind so training replays the peeked batch (deterministic streams)
+    it.restore({"epoch": 0, "offset": 0})
+    return it, first
 
-    def chained():
-        yield first
-        yield from it
 
-    return chained(), first
+class StatefulTrainIterator:
+    """Endless epoch-looping batch iterator with checkpointable position.
+
+    Replaces the reference's counted-skip WebLoader resume
+    (lmm_trainer.py:1021-1057): `state()` returns {"epoch", "offset"}
+    (batches already yielded within the epoch); `restore()` re-seeds the
+    deterministic per-epoch streams and fast-forwards only *within* the
+    epoch — O(offset) host work bounded by one epoch, instead of replaying
+    the whole run, and robust to pipeline-config changes across epochs.
+    """
+
+    def __init__(self, mix, collator, batch_size: int):
+        self.mix = mix
+        self.collator = collator
+        self.batch_size = batch_size
+        self.epoch = 0
+        self.offset = 0
+        self._gen: Optional[Iterator[Dict]] = None
+
+    def _epoch_gen(self, epoch: int) -> Iterator[Dict]:
+        self.mix.set_epoch(epoch)
+        buf = []
+        for row in self.mix:
+            buf.append(row)
+            if len(buf) == self.batch_size:
+                yield self.collator(buf)
+                buf = []
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict:
+        while True:
+            if self._gen is None:
+                self._gen = self._epoch_gen(self.epoch)
+            try:
+                batch = next(self._gen)
+                self.offset += 1
+                return batch
+            except StopIteration:
+                self.epoch += 1
+                self.offset = 0
+                self._gen = None
+
+    def state(self) -> Dict[str, int]:
+        return {"epoch": int(self.epoch), "offset": int(self.offset)}
+
+    def restore(self, state: Dict[str, int]):
+        self.epoch = int(state["epoch"])
+        self.offset = 0
+        self._gen = self._epoch_gen(self.epoch)
+        for _ in range(int(state["offset"])):
+            next(self._gen)
+            self.offset += 1
+        return self
 
 
 def skip_batches(it, n: int):

@@ -34,8 +34,16 @@ class EvalConfig:
     batch_size: int = 8
     max_new_tokens: int = 30
     min_new_tokens: int = 8
+    # reference generate_texts defaults num_beams=5 (mm_interleaved.py:612);
+    # 1 = greedy for fast smoke runs
+    num_beams: int = 1
+    repetition_penalty: float = 1.0
+    length_penalty: float = 1.0
     num_inference_steps: int = 30
     guidance_scale: float = 3.5
+    # 8-candidate CLIP rerank in the release t2i protocol
+    # (mm_eval.yaml:145 num_validation_images)
+    num_candidates: int = 1
     output_dir: Optional[str] = None
     max_batches: Optional[int] = None
 
@@ -54,6 +62,9 @@ class Evaluator:
         base = dict(
             max_new_tokens=self.cfg.max_new_tokens,
             min_new_tokens=self.cfg.min_new_tokens,
+            num_beams=self.cfg.num_beams,
+            repetition_penalty=self.cfg.repetition_penalty,
+            length_penalty=self.cfg.length_penalty,
             eos_token_ids=(sp.eos_token_id, sp.soi_token_id),
             pad_token_id=sp.pad_token_id,
         )
@@ -121,21 +132,30 @@ class Evaluator:
         return result
 
     def evaluate_t2i(self, batches, dataset_name: str = "t2i",
-                     save_images: bool = True, num_candidates: int = 1,
-                     rerank_fn=None) -> Dict[str, float]:
-        """Generate images; save for FID computation downstream
-        (reference _inner_generation_loop t2i branch, lmm_trainer.py:1390-1434).
+                     save_images: bool = True,
+                     num_candidates: Optional[int] = None,
+                     rerank_fn=None, feature_fn=None) -> Dict[str, float]:
+        """Generate images; compute FID in-loop against the ground-truth
+        images when a ``feature_fn(images [N,H,W,3] in [0,1]) -> [N,D]`` is
+        given (reference computes FID on rank 0 from saved paths,
+        lmm_trainer.py:1513-1533 + fid_score.py:251-275).
 
         With ``num_candidates > 1`` and a ``rerank_fn(images, captions) ->
         best_idx_per_caption``, reproduces the 8-candidate CLIP text-image
-        rerank (clip_sim_score.py:84-120).
+        rerank (clip_sim_score.py:84-120); build one with
+        :func:`make_clip_rerank_fn`.
         """
+        from ..utils import fid as F
+
+        if num_candidates is None:
+            num_candidates = self.cfg.num_candidates
         n = 0
         out_dir = None
         if save_images and self.cfg.output_dir:
             out_dir = os.path.join(self.cfg.output_dir, dataset_name)
             os.makedirs(out_dir, exist_ok=True)
         rng = jax.random.PRNGKey(0)
+        gen_arrays, gt_arrays = [], []
         for bi, batch in enumerate(batches):
             if self.cfg.max_batches and bi >= self.cfg.max_batches:
                 break
@@ -173,6 +193,15 @@ class Evaluator:
             else:
                 picked = cands[0]
             arr = (picked * 255).astype(np.uint8)
+            if feature_fn is not None:
+                gen_arrays.append(picked)
+                gt_key = ("image_tensors_dec"
+                          if "image_tensors_dec" in batch
+                          else "image_tensors")
+                gt = np.asarray(batch[gt_key]).reshape(
+                    (-1,) + tuple(np.shape(batch[gt_key])[2:])
+                )[tgt]
+                gt_arrays.append(gt)
             if out_dir is not None:
                 from PIL import Image
 
@@ -182,6 +211,78 @@ class Evaluator:
                     )
             n += arr.shape[0]
         result = {"num_generated": n, "image_dir": out_dir or ""}
+        if feature_fn is not None and gen_arrays:
+            fake = feature_fn(np.concatenate(gen_arrays, axis=0))
+            real = feature_fn(np.concatenate(gt_arrays, axis=0))
+            result["fid"] = F.fid_from_features(real, fake)
+        self._sink(dataset_name, result)
+        return result
+
+    def evaluate_segm2img(self, batches, gt_segm_by_index: Dict[int,
+                          np.ndarray], segment_fn=None,
+                          dataset_name: str = "ade20k",
+                          num_classes: int = 150) -> Dict[str, float]:
+        """Segmentation-to-image eval (reference generate_segm route,
+        lmm_trainer.py:1450-1489 + 1534-1556): generate the photo from the
+        colour-rendered segm map + caption, run an off-the-shelf semantic
+        segmenter over the generated photo (``segment_fn(image [H,W,3] in
+        [0,1]) -> [H,W] 1-indexed class map``, the OneFormer analogue of
+        segm_eval.py:9-22), then accumulate the official
+        intersection-and-union mIoU against the ground-truth class maps.
+
+        Without ``segment_fn``, images are generated/saved and only
+        ``num_generated`` is reported (the reference likewise skips the
+        metric off the main process)."""
+        out_dir = None
+        if self.cfg.output_dir:
+            out_dir = os.path.join(self.cfg.output_dir, dataset_name)
+            os.makedirs(out_dir, exist_ok=True)
+        rng = jax.random.PRNGKey(0)
+        preds, labels = [], []
+        n = 0
+        for bi, batch in enumerate(batches):
+            if self.cfg.max_batches and bi >= self.cfg.max_batches:
+                break
+            ctx, ctx_mask, mmfs_vals, mmfs_mask = self.model.apply(
+                self.variables,
+                batch["text_ids"], batch["image_tensors"],
+                batch["num_image_per_seq"], batch["attention_mask"],
+                method=self.model.generate_image_inputs,
+            )
+            B = batch["text_ids"].shape[0]
+            max_img = batch["image_tensors"].shape[1]
+            slot = np.asarray(batch["target_image_slots"])[:, 0]
+            tgt = np.arange(B) * max_img + np.maximum(slot, 0)
+            imgs = np.asarray(generate_images(
+                self.model, self.variables, ctx[tgt], ctx_mask[tgt],
+                jax.random.fold_in(rng, bi),
+                mmfs_values=mmfs_vals[tgt], mmfs_mask=mmfs_mask[tgt],
+                num_inference_steps=self.cfg.num_inference_steps,
+                guidance_scale=self.cfg.guidance_scale,
+            ))
+            for b, (index, _sid) in enumerate(batch["meta"]):
+                if out_dir is not None:
+                    from PIL import Image
+
+                    Image.fromarray(
+                        (imgs[b] * 255).astype(np.uint8)
+                    ).save(os.path.join(out_dir, f"{index:06d}.png"))
+                n += 1
+                if segment_fn is None:
+                    continue
+                gt = np.asarray(gt_segm_by_index[index])
+                pred = np.asarray(segment_fn(imgs[b]))
+                if pred.shape != gt.shape:
+                    from PIL import Image
+
+                    pred = np.asarray(Image.fromarray(
+                        pred.astype(np.uint8)
+                    ).resize(gt.shape[::-1], Image.NEAREST))
+                preds.append(pred)
+                labels.append(gt)
+        result: Dict[str, float] = {"num_generated": n}
+        if preds:
+            result["miou"] = M.miou_from_maps(preds, labels, num_classes)
         self._sink(dataset_name, result)
         return result
 
@@ -230,17 +331,23 @@ class Evaluator:
         self._sink(dataset_name, result)
         return result
 
-    def evaluate_storytelling(self, batches, dataset_name: str = "vist"
-                              ) -> Dict[str, float]:
+    def evaluate_storytelling(self, batches, dataset_name: str = "vist",
+                              feature_fn=None) -> Dict[str, float]:
         """Autoregressive image-sequence generation: each generated frame is
         re-encoded as context for the next (reference
         _inner_generation_loop_v2, lmm_trainer.py:1605-1810).
 
         Batches carry ``target_image_slots`` [B, n_targets] (indices into the
         padded image axis, -1 = none); frames generate in slot order.
+
+        With ``feature_fn`` the loop also reports FID and the CLIP
+        image-image similarity between generated and ground-truth frames
+        (reference lmm_trainer.py:1776-1798, clip_sim_score.py:22-81).
         """
         import jax.numpy as jnp
         from PIL import Image as PILImage
+
+        from ..utils import fid as F
 
         out_dir = None
         if self.cfg.output_dir:
@@ -248,6 +355,7 @@ class Evaluator:
             os.makedirs(out_dir, exist_ok=True)
         rng = jax.random.PRNGKey(0)
         n = 0
+        gen_arrays, gt_arrays = [], []
         enc_res = self.model.cfg.visual.encoder.vit.image_size
         for bi, batch in enumerate(batches):
             if self.cfg.max_batches and bi >= self.cfg.max_batches:
@@ -289,6 +397,16 @@ class Evaluator:
                 image_tensors = np.array(image_tensors)  # writable copy
                 for b in range(B):
                     if slot[b] >= 0:
+                        if feature_fn is not None:
+                            gen_arrays.append(arr[b])
+                            # gt frame: the original (pre-overwrite) slot
+                            # content, upsampled to the generated resolution
+                            gt = np.asarray(PILImage.fromarray(
+                                (np.asarray(
+                                    batch["image_tensors"][b, slot[b]]
+                                ) * 255).astype(np.uint8)
+                            ).resize(arr.shape[1:3][::-1]), np.float32) / 255.0
+                            gt_arrays.append(gt)
                         image_tensors[b, slot[b]] = resized[b]
                         if out_dir is not None:
                             idx = batch["meta"][b][0]
@@ -300,6 +418,13 @@ class Evaluator:
                             n += 1
                 image_tensors = jnp.asarray(image_tensors)
         result = {"num_generated": n, "image_dir": out_dir or ""}
+        if feature_fn is not None and gen_arrays:
+            fake_feats = feature_fn(np.stack(gen_arrays))
+            real_feats = feature_fn(np.stack(gt_arrays))
+            result["fid"] = F.fid_from_features(real_feats, fake_feats)
+            result["clip_sim_i2i"] = float(
+                F.clip_similarity(fake_feats, real_feats).mean()
+            )
         self._sink(dataset_name, result)
         return result
 
@@ -307,21 +432,48 @@ class Evaluator:
 
     @staticmethod
     def gather_predictions(local: Dict) -> Dict:
-        """Multi-host prediction merge via `process_allgather` — replaces the
-        reference's per-rank JSON files + barrier (caption_collect.py:7,
-        lmm_trainer.py:1871-1891)."""
+        """Multi-host prediction merge — replaces the reference's per-rank
+        JSON files + barrier (caption_collect.py:7,
+        lmm_trainer.py:1871-1891).
+
+        Hosts hold *different* keys, so a pytree `process_allgather` would
+        see mismatching treedefs.  Instead the local dict is serialised to
+        JSON bytes, padded to the global max length (one scalar allgather),
+        gathered as a uint8 array, and merged (later process indices win on
+        key collisions, matching the reference's file-overwrite order)."""
         if jax.process_count() == 1:
             return local
+        import json as _json
+
+        import jax.numpy as jnp
         from jax.experimental import multihost_utils
 
-        keys = sorted(local.keys())
-        gathered = multihost_utils.process_allgather(
-            {k: local[k] for k in keys}
-        )
+        payload = _json.dumps(
+            {str(k): v for k, v in local.items()}
+        ).encode("utf-8")
+        n = np.frombuffer(payload, np.uint8)
+        lengths = multihost_utils.process_allgather(
+            jnp.asarray([len(n)], jnp.int32)
+        ).reshape(-1)
+        max_len = int(lengths.max())
+        padded = np.zeros(max_len, np.uint8)
+        padded[: len(n)] = n
+        gathered = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(padded)
+        )).reshape(jax.process_count(), max_len)
         merged: Dict = {}
-        for k, v in gathered.items():
-            merged[k] = v
-        return merged
+        for p in range(gathered.shape[0]):
+            raw = gathered[p, : int(lengths[p])].tobytes()
+            part = _json.loads(raw.decode("utf-8"))
+            merged.update(part)
+        # restore int keys where possible (sample indices)
+        out: Dict = {}
+        for k, v in merged.items():
+            try:
+                out[int(k)] = v
+            except ValueError:
+                out[k] = v
+        return out
 
     def _sink(self, dataset_name: str, result: Dict):
         """Append to eval_metrics.jsonl (reference lmm_trainer.py:2165-2177)."""

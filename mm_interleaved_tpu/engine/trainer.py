@@ -9,8 +9,15 @@ itself a 2.3k-line fork of HF Trainer + DeepSpeed ZeRO-1):
   * fp16 dynamic loss scaling -> bf16 compute with fp32 master params
     (no scaler needed on TPU);
   * NaN/Inf loss smoothing (lmm_trainer.py:1070-1078) -> skip-update guard;
-  * checkpoint/resume (lmm_trainer.py:380-643) -> orbax CheckpointManager
-    (params, opt state, step, host RNG, data-iterator state).
+  * gradient accumulation (the reference's global batch is
+    ``4/dev x world x grad-accum``, mm_pretrain.yaml + HF TrainingArguments)
+    -> an in-step `lax.scan` over a leading micro-batch axis: one compiled
+    step per *optimizer* step, grads averaged in fp32;
+  * checkpoint/resume (lmm_trainer.py:380-643, RNG states :487-513, counted
+    data skip :1021-1057) -> orbax CheckpointManager holding params, opt
+    state, step, the host numpy RNG state, and the data-iterator position
+    ({"epoch", "offset"} of `StatefulTrainIterator`) so resume fast-forwards
+    only within the current epoch.
 """
 
 from __future__ import annotations
@@ -52,6 +59,9 @@ class TrainerConfig:
     seed: int = 32
     skip_nonfinite_updates: bool = True
     checkpoint_dir: Optional[str] = None
+    # micro-batches per optimizer step; the train step consumes batches with
+    # a leading [grad_accum_steps, ...] axis when > 1
+    grad_accum_steps: int = 1
 
 
 class Trainer:
@@ -161,23 +171,67 @@ class Trainer:
         model, tx = self.model, self.tx
         skip_guard = self.cfg.skip_nonfinite_updates
         seed = self.cfg.seed
+        accum = self.cfg.grad_accum_steps
+        metric_keys = ("loss_txt", "loss_img")
 
         def train_step(state: TrainState, batch: Dict[str, jax.Array]):
             rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
-            r_noise, r_drop = jax.random.split(rng)
 
-            def loss_fn(params):
+            def loss_fn(params, mb, r_noise, r_drop):
                 out = model.apply(
                     {**state.params, "params": params},
-                    **batch,
+                    **mb,
                     deterministic=False,
                     rngs={"noise": r_noise, "dropout": r_drop},
                 )
-                return out[self.loss_key], out
+                aux = {k: out[k] for k in metric_keys if k in out}
+                return out[self.loss_key], aux
 
-            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params["params"]
-            )
+            if accum == 1:
+                r_noise, r_drop = jax.random.split(rng)
+                (loss, out), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params["params"], batch, r_noise, r_drop)
+            else:
+                # micro-batch scan: grads averaged in fp32; one optimizer
+                # update per compiled step (reference grad-accum semantics)
+                params = state.params["params"]
+
+                def body(carry, xs):
+                    g_sum, loss_sum, aux_sum = carry
+                    mb, i = xs
+                    r_noise, r_drop = jax.random.split(
+                        jax.random.fold_in(rng, i)
+                    )
+                    (loss_i, aux_i), g_i = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params, mb, r_noise, r_drop)
+                    g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g_i)
+                    aux_sum = jax.tree_util.tree_map(
+                        jnp.add, aux_sum, aux_i
+                    )
+                    return (g_sum, loss_sum + loss_i, aux_sum), None
+
+                g0 = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), params
+                )
+                mb0 = jax.tree_util.tree_map(lambda x: x[0], batch)
+                _, aux0 = jax.eval_shape(
+                    lambda p: loss_fn(p, mb0, rng, rng), params
+                )
+                aux0 = jax.tree_util.tree_map(
+                    lambda a: jnp.zeros(a.shape, a.dtype), aux0
+                )
+                (g_sum, loss_sum, aux_sum), _ = jax.lax.scan(
+                    body, (g0, jnp.float32(0.0), aux0),
+                    (batch, jnp.arange(accum)),
+                )
+                inv = 1.0 / accum
+                grads = jax.tree_util.tree_map(
+                    lambda g: g * inv, g_sum
+                )
+                loss = loss_sum * inv
+                out = jax.tree_util.tree_map(lambda a: a * inv, aux_sum)
             gnorm = optax.global_norm(grads)
             updates, new_opt = tx.update(
                 grads, state.opt_state, state.params["params"]
@@ -224,8 +278,22 @@ class Trainer:
 
     def shard_batch(self, batch):
         sh = batch_sharding(self.mesh)
+        if self.cfg.grad_accum_steps > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(None, ("data", "fsdp")))
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.asarray(x), sh), batch
+        )
+
+    def _next_batch(self, data_iter):
+        """One optimizer-step batch: stacks ``grad_accum_steps``
+        micro-batches along a new leading axis when accumulating."""
+        if self.cfg.grad_accum_steps == 1:
+            return next(data_iter)
+        micro = [next(data_iter) for _ in range(self.cfg.grad_accum_steps)]
+        return jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, axis=0), *micro
         )
 
     def fit(
@@ -244,7 +312,7 @@ class Trainer:
         step_fn = None
         t0 = time.time()
         for i in range(num_steps):
-            batch = self.shard_batch(next(data_iter))
+            batch = self.shard_batch(self._next_batch(data_iter))
             if step_fn is None:
                 step_fn = self.compile_step(state, batch)
             state, metrics = step_fn(state, batch)
@@ -259,14 +327,38 @@ class Trainer:
                 if log_fn and eval_metrics:
                     log_fn(step, {f"eval/{k}": v
                                   for k, v in eval_metrics.items()})
-            self.maybe_save(state)
+            self.maybe_save(
+                state,
+                data_state=(data_iter.state()
+                            if hasattr(data_iter, "state") else None),
+            )
         return state
 
     # ------------------------------------------------------------------ #
     # checkpointing                                                       #
     # ------------------------------------------------------------------ #
 
-    def maybe_save(self, state: TrainState, force: bool = False):
+    @staticmethod
+    def _host_rng_payload():
+        """numpy global RNG state as arrays (the reference saves per-rank
+        RNG states, lmm_trainer.py:487-513)."""
+        name, keys, pos, has_gauss, cached = np.random.get_state()
+        return dict(
+            keys=np.asarray(keys), pos=int(pos),
+            has_gauss=int(has_gauss), cached=float(cached),
+        )
+
+    def _payload(self, state: TrainState, data_state: Optional[Dict] = None):
+        return dict(
+            params=state.params,
+            opt_state=state.opt_state,
+            step=int(state.step),
+            host_rng=self._host_rng_payload(),
+            data_state=dict(data_state or {"epoch": 0, "offset": 0}),
+        )
+
+    def maybe_save(self, state: TrainState,
+                   data_state: Optional[Dict] = None, force: bool = False):
         if self._ckpt_mgr is None:
             return
         import orbax.checkpoint as ocp
@@ -275,27 +367,33 @@ class Trainer:
         if force or self._ckpt_mgr.should_save(step):
             self._ckpt_mgr.save(
                 step,
-                args=ocp.args.StandardSave(
-                    dict(params=state.params, opt_state=state.opt_state,
-                         step=step)
-                ),
+                args=ocp.args.StandardSave(self._payload(state, data_state)),
                 force=force,
             )
 
-    def restore(self, state: TrainState) -> TrainState:
-        """Auto-resume from the latest checkpoint (train.py:62-66 analogue)."""
+    def restore(self, state: TrainState, data_iter=None) -> TrainState:
+        """Auto-resume from the latest checkpoint (train.py:62-66 analogue):
+        restores params/opt/step, the host numpy RNG, and — when
+        ``data_iter`` has a ``restore`` method (StatefulTrainIterator) —
+        the data position, replacing the old full-replay counted skip."""
         if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
             return state
         import orbax.checkpoint as ocp
 
-        target = dict(
-            params=state.params, opt_state=state.opt_state,
-            step=int(state.step),
-        )
         restored = self._ckpt_mgr.restore(
             self._ckpt_mgr.latest_step(),
-            args=ocp.args.StandardRestore(target),
+            args=ocp.args.StandardRestore(self._payload(state)),
         )
+        rng = restored.get("host_rng")
+        if rng is not None:
+            np.random.set_state((
+                "MT19937", np.asarray(rng["keys"], np.uint32),
+                int(rng["pos"]), int(rng["has_gauss"]),
+                float(rng["cached"]),
+            ))
+        if data_iter is not None and hasattr(data_iter, "restore") and \
+                restored.get("data_state") is not None:
+            data_iter.restore(restored["data_state"])
         return TrainState(
             step=jnp.asarray(restored["step"], jnp.int32),
             params=restored["params"],

@@ -4,9 +4,19 @@ Re-design of the reference's patched HF beam search
 (`monkey_patch/beam_search_monkey_patch.py:17-354`) + cascade wrapper: a
 t5x-style fixed-shape beam search —
 
-  * 2K candidates per step, finished hypotheses collected separately with
-    length penalty ``score / ((5 + len) / 6) ** alpha`` (HF convention:
-    ``score / len ** alpha``; we use the plain HF form);
+  * ``max(2, 1 + n_eos) * K`` candidates per step (the patch widens HF's 2K
+    so K non-eos tokens always remain, beam_search_monkey_patch.py:263-268);
+    finished hypotheses collected separately with HF length penalty
+    ``cum_logprob / len ** alpha`` where ``len`` *excludes* the stopping eos
+    (BeamHypotheses.add receives the pre-eos input_ids);
+  * eos candidates enter the finished pool only when ranked < K among the
+    step candidates (BeamSearchScorer.process's ``beam_token_rank`` gate);
+  * finalize merges live beams (scored at full length) into the pool;
+  * deviation from HF: the output keeps the *actual* stopping token (<eos>
+    or <soi>) where HF finalize writes ``eos_token_id[0]``; downstream
+    decode strips all eos ids so scores are unaffected, and the greedy path
+    (the one the interleaved inference loop uses, mm_inference.yaml:52)
+    needs the true <soi> to trigger image generation;
   * multi-eos (<eos> or <soi>, mm_interleaved.py:649-654);
   * beam reorder = gather on the preallocated cache
     (the `_reorder_cache` analogue, modeling_llama_mmfs.py:912-917);
@@ -51,6 +61,9 @@ def beam_search(
     vocab = model.cfg.llm.vocab_size
     eos = jnp.asarray(cfg.eos_token_ids)
     alpha = cfg.length_penalty
+    # candidates per step: enough to guarantee K non-eos survivors
+    # (beam_search_monkey_patch.py:263-268)
+    C = max(2, 1 + len(cfg.eos_token_ids)) * K
 
     # ---- prefill on B rows, then tile the cache to B*K
     from .text import extract_vision_values
@@ -96,22 +109,29 @@ def beam_search(
             (step < cfg.min_new_tokens) & eos_mask[None, :], NEG_INF, logp
         )
 
-    # ---- step 0: top-K tokens of the first distribution seed the beams
+    # ---- step 0: top-C tokens of the first distribution; eos candidates
+    # ranked < K enter the finished pool (HF BeamSearchScorer.process gate
+    # `beam_token_rank >= group_size -> skip`), live beams = top-K non-eos.
+    # An eos at step 0 yields a 0-length hypothesis: HF divides by 0**alpha
+    # (== -inf for alpha > 0, score/1 for alpha == 0) — reproduced exactly.
     lp0 = mask_eos(first_logp, 0)
-    scores0, tok0 = jax.lax.top_k(lp0, K)  # [B, K]
-    live_ids = jnp.full((B, K, T), cfg.pad_token_id, jnp.int32)
-    live_ids = live_ids.at[:, :, 0].set(tok0)
-    live_scores = scores0
+    scores0, tok0 = jax.lax.top_k(lp0, C)  # [B, C]
     is_eos0 = jnp.isin(tok0, eos)
-    fin_ids = jnp.where(
-        is_eos0[:, :, None],
-        live_ids,
-        jnp.full_like(live_ids, cfg.pad_token_id),
+    rank_ok0 = jnp.arange(C)[None, :] < K
+    cand_ids0 = jnp.full((B, C, T), cfg.pad_token_id, jnp.int32)
+    cand_ids0 = cand_ids0.at[:, :, 0].set(tok0)
+    eos_len_off = 1 if cfg.lp_includes_eos else 0
+    all_fin_scores0 = jnp.where(
+        is_eos0 & rank_ok0,
+        scores0 / _length_penalty(jnp.asarray(eos_len_off), alpha),
+        NEG_INF,
     )
-    fin_scores = jnp.where(
-        is_eos0, scores0 / _length_penalty(jnp.asarray(1), alpha), NEG_INF
+    fin_scores, fin_sel0 = jax.lax.top_k(all_fin_scores0, K)
+    fin_ids = jnp.take_along_axis(cand_ids0, fin_sel0[:, :, None], axis=1)
+    live_scores, live_sel0 = jax.lax.top_k(
+        jnp.where(is_eos0, NEG_INF, scores0), K
     )
-    live_scores = jnp.where(is_eos0, NEG_INF, live_scores)
+    live_ids = jnp.take_along_axis(cand_ids0, live_sel0[:, :, None], axis=1)
 
     def body(carry, step):
         live_ids, live_scores, fin_ids, fin_scores, cache = carry
@@ -135,7 +155,7 @@ def beam_search(
 
         cand = live_scores[:, :, None] + logp  # [B, K, V]
         cand_flat = cand.reshape(B, K * vocab)
-        top_scores, top_idx = jax.lax.top_k(cand_flat, 2 * K)  # [B, 2K]
+        top_scores, top_idx = jax.lax.top_k(cand_flat, C)  # [B, C]
         parent = top_idx // vocab
         token = top_idx % vocab
         is_eos = jnp.isin(token, eos)
@@ -149,10 +169,13 @@ def beam_search(
         cand_ids = gather_rows(live_ids, parent)  # [B, 2K, T]
         cand_ids = cand_ids.at[:, :, step].set(token)
 
-        # --- finished pool update
+        # --- finished pool update (eos candidates only from ranks < K,
+        # matching BeamSearchScorer.process; the length-penalty divisor is
+        # the hypothesis length *excluding* the eos == `step`)
+        rank_ok = jnp.arange(C)[None, :] < K
         new_fin_scores = jnp.where(
-            is_eos,
-            top_scores / _length_penalty(jnp.asarray(step + 1), alpha),
+            is_eos & rank_ok,
+            top_scores / _length_penalty(step + eos_len_off, alpha),
             NEG_INF,
         )
         all_fin_scores = jnp.concatenate([fin_scores, new_fin_scores], axis=1)
@@ -183,14 +206,14 @@ def beam_search(
         body, carry, jnp.arange(1, T)
     )
 
-    # prefer finished hypotheses; fall back to best live beam
+    # finalize (BeamSearchScorer.finalize): live beams join the pool scored
+    # at full length T, best of (finished ∪ live) wins
     live_final = live_scores / _length_penalty(jnp.asarray(T), alpha)
-    use_fin = fin_scores[:, 0] > NEG_INF / 2
-    best_fin = fin_ids[:, 0]
-    best_live = jnp.take_along_axis(
-        live_ids, jnp.argmax(live_final, axis=1)[:, None, None], axis=1
+    pool_scores = jnp.concatenate([fin_scores, live_final], axis=1)
+    pool_ids = jnp.concatenate([fin_ids, live_ids], axis=1)
+    out = jnp.take_along_axis(
+        pool_ids, jnp.argmax(pool_scores, axis=1)[:, None, None], axis=1
     )[:, 0]
-    out = jnp.where(use_fin[:, None], best_fin, best_live)
 
     # pad everything after the first eos (keep the eos itself)
     hit = jnp.isin(out, eos)

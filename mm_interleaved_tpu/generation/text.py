@@ -36,6 +36,14 @@ class TextGenerationConfig:
     repetition_penalty: float = 1.0
     num_beams: int = 1
     length_penalty: float = 1.0
+    # transformers 4.31 (the reference's pinned version) divides a finished
+    # hypothesis' score by its length *excluding* the stopping eos
+    # (BeamHypotheses.add receives the pre-eos input_ids); transformers
+    # >= 4.49's vectorized beam search divides by the length *including* it
+    # (`cur_len + 1 - decoder_prompt_len`).  Default reproduces the
+    # reference; flip for modern-HF semantics (oracle-tested in
+    # tests/test_beam_hf.py).
+    lp_includes_eos: bool = False
     eos_token_ids: Tuple[int, ...] = (2,)
     pad_token_id: int = 0
 
@@ -140,8 +148,11 @@ def generate_tokens(
     )
 
     presence0 = jnp.zeros((B, vocab), bool)
-    # mark prompt tokens present for repetition penalty (approximation: the
-    # caller may pass ids via attention-masked embeds only, so we start empty)
+    # repetition penalty sees only *generated* tokens: the reference calls
+    # HF generate with input_ids=None + inputs_embeds (mm_interleaved.py:
+    # 640-641), and transformers seeds input_ids as an empty [B, 0] tensor
+    # in that case (_maybe_initialize_input_ids_for_generation), so the
+    # RepetitionPenaltyLogitsProcessor never sees prompt tokens.
 
     eos = jnp.asarray(cfg.eos_token_ids)
 
@@ -210,6 +221,13 @@ def generate_texts(
         prep = model.apply(
             variables, text_ids, image_tensors, num_image_per_seq,
             method=model.prepare_mm_embeds,
+        )
+    if cfg.num_beams > 1:
+        from .beam import beam_search
+
+        return beam_search(
+            model, variables, prep["mm_embeds"], attention_mask,
+            prep["mmfs_values"], prep["cross_attention_mask"], cfg,
         )
     return generate_tokens(
         model, variables, prep["mm_embeds"], attention_mask,

@@ -50,6 +50,11 @@ class ImageDecoderConfig:
     image_size: int = 512
     # which ViT pyramid level resolutions feed the UNet MMFS (all four)
     spatial_shapes: tuple = (64, 32, 16, 8)
+    # fp32-VAE intra-op micro-batching (reference sd.py:149, 225-238):
+    # bounds peak activation memory at 512px; applied via lax.map when the
+    # batch divides evenly, else whole-batch
+    vae_encode_mini_bs: int = 32
+    vae_decode_mini_bs: int = 8
 
     @property
     def latent_size(self) -> int:
@@ -58,6 +63,29 @@ class ImageDecoderConfig:
 
 class ImageDecoder(nn.Module):
     cfg: ImageDecoderConfig
+
+    def _chunked_vae(self, fn, x: jax.Array, mini: int,
+                     rng: Optional[jax.Array] = None) -> jax.Array:
+        """Apply ``fn`` over batch chunks of ``mini`` via `lax.map` — the
+        reference's VAE mini-batch loops (sd.py:149, 225-238) as sequential
+        XLA execution bounding peak fp32 activation memory.  Falls back to
+        one whole-batch call when chunking doesn't divide evenly or during
+        init (params must be created outside control flow).  With ``rng``,
+        ``fn(chunk, chunk_rng)`` gets an independent key per chunk."""
+        B = x.shape[0]
+        if (self.is_initializing() or mini <= 0 or B <= mini
+                or B % mini != 0):
+            return fn(x, rng) if rng is not None else fn(x)
+        n = B // mini
+        xs = x.reshape((n, mini) + x.shape[1:])
+        if rng is not None:
+            out = jax.lax.map(
+                lambda args: fn(args[0], jax.random.fold_in(rng, args[1])),
+                (xs, jnp.arange(n)),
+            )
+        else:
+            out = jax.lax.map(fn, xs)
+        return out.reshape((B,) + out.shape[2:])
 
     def setup(self):
         c = self.cfg
@@ -106,9 +134,13 @@ class ImageDecoder(nn.Module):
             )
             ctx = jnp.where(drop, self.neg_prompt_embeds.astype(ctx.dtype), ctx)
 
-        # fp32 VAE island (reference sd.py:220-238)
+        # fp32 VAE island (reference sd.py:220-238), micro-batched to bound
+        # peak memory at 512px: lax.map enforces sequential chunk execution
         image = image_tensors.astype(jnp.float32) * 2.0 - 1.0
-        latents = self.vae.encode(image, rng=r_vae, sample=True)
+        latents = self._chunked_vae(
+            lambda x, r: self.vae.encode(x, rng=r, sample=True),
+            image, self.cfg.vae_encode_mini_bs, rng=r_vae,
+        )
         latents = jax.lax.stop_gradient(latents)
         if self.is_initializing():
             # trace the decode path so its params exist for generation
@@ -159,5 +191,7 @@ class ImageDecoder(nn.Module):
         )
 
     def vae_decode(self, latents):
-        image = self.vae.decode(latents)
+        image = self._chunked_vae(
+            self.vae.decode, latents, self.cfg.vae_decode_mini_bs
+        )
         return jnp.clip(image * 0.5 + 0.5, 0.0, 1.0)

@@ -58,9 +58,15 @@ def fid_from_features(real: np.ndarray, fake: np.ndarray) -> float:
 
 class CLIPViTFeatures:
     """cls-token features from our CLIP ViT (for CLIP-FID and the CLIP
-    image-image similarity / rerank of clip_sim_score.py)."""
+    image-image similarity / rerank of clip_sim_score.py).
 
-    def __init__(self, vit_config, variables, batch_size: int = 32):
+    With ``projected=True`` the cls token goes through the CLIP
+    post-layernorm + visual projection into the shared image-text space
+    (HF ``CLIPModel.get_image_features``) — required for text-image rerank;
+    the raw cls feature suffices for CLIP-FID / i2i similarity."""
+
+    def __init__(self, vit_config, variables, batch_size: int = 32,
+                 projected: bool = False, image_size: int = None):
         import flax.linen as nn
         import jax
         import jax.numpy as jnp
@@ -81,23 +87,68 @@ class CLIPViTFeatures:
                                  name="pre_layrnorm")(h)
                 for i in range(self.cfg.num_hidden_layers):
                     h = ViTLayer(self.cfg, name=f"layers_{i}")(h)
-                return h[:, 0]  # cls
+                h = h[:, 0]  # cls
+                if projected:
+                    h = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps,
+                                     name="post_layernorm")(h)
+                    h = nn.Dense(self.cfg.projection_dim
+                                 if hasattr(self.cfg, "projection_dim")
+                                 else self.cfg.hidden_size,
+                                 use_bias=False,
+                                 name="visual_projection")(h)
+                return h
 
         self.model = _ViT(vit_config)
         self.variables = variables
         self.batch_size = batch_size
+        self.image_size = image_size or vit_config.image_size
         self._fn = jax.jit(self.model.apply)
 
     def __call__(self, images: np.ndarray) -> np.ndarray:
-        """images: [N, H, W, 3] in [0,1] -> [N, D]."""
+        """images: [N, H, W, 3] in [0,1] -> [N, D]; resizes to the ViT's
+        input resolution when needed."""
         import numpy as np
 
+        images = np.asarray(images, np.float32)
+        if images.shape[1] != self.image_size:
+            from PIL import Image
+
+            s = self.image_size
+            images = np.stack([
+                np.asarray(Image.fromarray(
+                    (im * 255).astype(np.uint8)
+                ).resize((s, s), Image.BICUBIC), np.float32) / 255.0
+                for im in images
+            ])
         out = []
         for i in range(0, len(images), self.batch_size):
             out.append(np.asarray(
                 self._fn(self.variables, images[i : i + self.batch_size])
             ))
         return np.concatenate(out, axis=0)
+
+
+def make_clip_rerank_fn(image_feature_fn: Callable,
+                        text_feature_fn: Callable):
+    """Candidate rerank matching `clip_rerank_generated_images`
+    (clip_sim_score.py:84-120): normalised CLIP image/text features, cosine
+    per (candidate, caption), argmax over candidates.
+
+    ``images`` arrive candidate-major ([C*B, H, W, 3], candidate c of
+    caption b at row c*B + b), exactly like the reference's repeated text
+    features. Returns [B] best-candidate indices."""
+
+    def rerank(images: np.ndarray, captions) -> np.ndarray:
+        img_f = np.asarray(image_feature_fn(images), np.float64)
+        txt_f = np.asarray(text_feature_fn(captions), np.float64)
+        img_f /= np.linalg.norm(img_f, axis=-1, keepdims=True)
+        txt_f /= np.linalg.norm(txt_f, axis=-1, keepdims=True)
+        B = len(txt_f)
+        C = len(img_f) // B
+        sims = (img_f.reshape(C, B, -1) * txt_f[None]).sum(-1)  # [C, B]
+        return sims.argmax(axis=0)
+
+    return rerank
 
 
 def clip_similarity(feats_a: np.ndarray, feats_b: np.ndarray) -> np.ndarray:

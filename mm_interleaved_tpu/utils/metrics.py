@@ -133,7 +133,13 @@ def cider_d(
 
 
 # --------------------------------------------------------------------- #
-# VQA accuracy (official VQAEval normalisation, abridged contractions)   #
+# VQA accuracy — exact port of the official VQAEval normalisation        #
+# (reference utils/vqav2_metrics_src/vqaEval.py:23-154, itself the       #
+# GT-Vision-Lab reference scorer).  The full contraction table, the      #
+# space-adjacency punctuation rule and the period regex are reproduced   #
+# verbatim in behaviour — including the official quirks (uppercase-I     #
+# contraction keys that never match lowercased text, the inverted       #
+# "somebody'd" entry) so scores are bit-identical to published numbers.  #
 # --------------------------------------------------------------------- #
 
 _ARTICLES = {"a", "an", "the"}
@@ -142,43 +148,116 @@ _NUM_MAP = {
     "four": "4", "five": "5", "six": "6", "seven": "7", "eight": "8",
     "nine": "9", "ten": "10",
 }
+# Official contraction map (vqaEval.py:23-43). Kept byte-for-byte —
+# including entries that can never fire after lowercasing ("Im", "Ive",
+# "Id've", "I'dve") and the swapped "somebody'd": "somebodyd".
 _CONTRACTIONS = {
-    "cant": "can't", "dont": "don't", "doesnt": "doesn't", "isnt": "isn't",
-    "wont": "won't", "wasnt": "wasn't", "arent": "aren't",
-    "couldnt": "couldn't", "didnt": "didn't", "hasnt": "hasn't",
-    "havent": "haven't", "im": "i'm", "its": "it's", "shouldnt": "shouldn't",
-    "thats": "that's", "theres": "there's", "wouldnt": "wouldn't",
-    "youre": "you're", "youll": "you'll", "youd": "you'd",
+    "aint": "ain't", "arent": "aren't", "cant": "can't",
+    "couldve": "could've", "couldnt": "couldn't",
+    "couldn'tve": "couldn't've", "couldnt've": "couldn't've",
+    "didnt": "didn't", "doesnt": "doesn't", "dont": "don't",
+    "hadnt": "hadn't", "hadnt've": "hadn't've", "hadn'tve": "hadn't've",
+    "hasnt": "hasn't", "havent": "haven't", "hed": "he'd",
+    "hed've": "he'd've", "he'dve": "he'd've", "hes": "he's",
+    "howd": "how'd", "howll": "how'll", "hows": "how's",
+    "Id've": "I'd've", "I'dve": "I'd've", "Im": "I'm", "Ive": "I've",
+    "isnt": "isn't", "itd": "it'd", "itd've": "it'd've",
+    "it'dve": "it'd've", "itll": "it'll", "let's": "let's",
+    "maam": "ma'am", "mightnt": "mightn't", "mightnt've": "mightn't've",
+    "mightn'tve": "mightn't've", "mightve": "might've",
+    "mustnt": "mustn't", "mustve": "must've", "neednt": "needn't",
+    "notve": "not've", "oclock": "o'clock", "oughtnt": "oughtn't",
+    "ow's'at": "'ow's'at", "'ows'at": "'ow's'at", "'ow'sat": "'ow's'at",
+    "shant": "shan't", "shed've": "she'd've", "she'dve": "she'd've",
+    "she's": "she's", "shouldve": "should've", "shouldnt": "shouldn't",
+    "shouldnt've": "shouldn't've", "shouldn'tve": "shouldn't've",
+    "somebody'd": "somebodyd", "somebodyd've": "somebody'd've",
+    "somebody'dve": "somebody'd've", "somebodyll": "somebody'll",
+    "somebodys": "somebody's", "someoned": "someone'd",
+    "someoned've": "someone'd've", "someone'dve": "someone'd've",
+    "someonell": "someone'll", "someones": "someone's",
+    "somethingd": "something'd", "somethingd've": "something'd've",
+    "something'dve": "something'd've", "somethingll": "something'll",
+    "thats": "that's", "thered": "there'd", "thered've": "there'd've",
+    "there'dve": "there'd've", "therere": "there're", "theres": "there's",
+    "theyd": "they'd", "theyd've": "they'd've", "they'dve": "they'd've",
+    "theyll": "they'll", "theyre": "they're", "theyve": "they've",
+    "twas": "'twas", "wasnt": "wasn't", "wed've": "we'd've",
+    "we'dve": "we'd've", "weve": "we've", "werent": "weren't",
+    "whatll": "what'll", "whatre": "what're", "whats": "what's",
+    "whatve": "what've", "whens": "when's", "whered": "where'd",
+    "wheres": "where's", "whereve": "where've", "whod": "who'd",
+    "whod've": "who'd've", "who'dve": "who'd've", "wholl": "who'll",
+    "whos": "who's", "whove": "who've", "whyll": "why'll",
+    "whyre": "why're", "whys": "why's", "wont": "won't",
+    "wouldve": "would've", "wouldnt": "wouldn't",
+    "wouldnt've": "wouldn't've", "wouldn'tve": "wouldn't've",
+    "yall": "y'all", "yall'll": "y'all'll", "y'allll": "y'all'll",
+    "yall'd've": "y'all'd've", "y'alld've": "y'all'd've",
+    "y'all'dve": "y'all'd've", "youd": "you'd", "youd've": "you'd've",
+    "you'dve": "you'd've", "youll": "you'll", "youre": "you're",
+    "youve": "you've",
 }
-_PUNCT_VQA = re.compile(r"[;/\[\]\"{}()=+\\_\-><@`,?!]")
+_VQA_PUNCT = [";", r"/", "[", "]", '"', "{", "}", "(", ")", "=", "+",
+              "\\", "_", "-", ">", "<", "@", "`", ",", "?", "!"]
+# official regexes (vqaEval.py:63-64; the period pattern keeps decimals)
+_PERIOD_STRIP = re.compile(r"(?!<=\d)(\.)(?!\d)")
+_COMMA_STRIP = re.compile(r"(\d)(\,)(\d)")
+
+
+def _vqa_process_punctuation(text: str) -> str:
+    """vqaEval.processPunctuation (:129-139): a punctuation char adjacent to
+    a space (or any text with a digit,digit comma) is deleted; otherwise it
+    becomes a space. Then strip non-decimal periods."""
+    out = text
+    for p in _VQA_PUNCT:
+        if (p + " " in text or " " + p in text) or (
+            _COMMA_STRIP.search(text) is not None
+        ):
+            out = out.replace(p, "")
+        else:
+            out = out.replace(p, " ")
+    return _PERIOD_STRIP.sub("", out)
+
+
+def _vqa_process_digit_article(text: str) -> str:
+    """vqaEval.processDigitArticle (:141-154)."""
+    words = []
+    for w in text.lower().split():
+        w = _NUM_MAP.get(w, w)
+        if w not in _ARTICLES:
+            words.append(w)
+    return " ".join(_CONTRACTIONS.get(w, w) for w in words)
 
 
 def normalize_vqa_answer(ans: str) -> str:
-    ans = ans.replace("\n", " ").replace("\t", " ").strip().lower()
-    ans = _PUNCT_VQA.sub("", ans)
-    ans = ans.replace(".", "").replace(":", "")
-    words = []
-    for w in ans.split():
-        w = _NUM_MAP.get(w, w)
-        if w in _ARTICLES:
-            continue
-        w = _CONTRACTIONS.get(w, w)
-        words.append(w)
-    return " ".join(words)
+    ans = ans.replace("\n", " ").replace("\t", " ").strip()
+    return _vqa_process_digit_article(_vqa_process_punctuation(ans))
 
 
 def vqa_accuracy(pred: str, gt_answers: Sequence[str]) -> float:
-    """Official VQA accuracy: leave-one-out, min(#matches/3, 1) averaged."""
-    pred = normalize_vqa_answer(pred)
-    gts = [normalize_vqa_answer(a) for a in gt_answers]
-    if len(gts) == 1:
+    """Official VQA accuracy (vqaEval.py:88-117): leave-one-out over all
+    (possibly duplicated) gt answers, min(#matches/3, 1) averaged.
+
+    Normalisation is applied only when the gt answers are not all identical
+    — faithful to the official `len(set(gtAnswers)) > 1` gate (:100-105)."""
+    clean = lambda s: s.replace("\n", " ").replace("\t", " ").strip()
+    pred = clean(pred)
+    gts = [clean(a) for a in gt_answers]
+    if len(set(gts)) > 1:
+        pred = _vqa_process_digit_article(_vqa_process_punctuation(pred))
+        gts = [
+            _vqa_process_digit_article(_vqa_process_punctuation(a))
+            for a in gts
+        ]
+    if len(gts) == 1:  # non-VQAv2 datasets with a single gt answer
         return float(pred == gts[0])
     accs = []
     for i in range(len(gts)):
         others = gts[:i] + gts[i + 1:]
         matches = sum(1 for a in others if a == pred)
         accs.append(min(1.0, matches / 3.0))
-    return float(np.mean(accs))
+    return float(np.mean(accs)) if accs else 0.0
 
 
 def extract_vqa_answer(text: str) -> str:
@@ -245,6 +324,38 @@ def grounding_accuracy(pred_boxes, gt_boxes, thresh: float = 0.5) -> float:
     """acc@IoU>=0.5 (reference grounding_score.py:41)."""
     hits = [box_iou(p, g) >= thresh for p, g in zip(pred_boxes, gt_boxes)]
     return float(np.mean(hits)) if hits else 0.0
+
+
+def intersection_and_union(pred: np.ndarray, label: np.ndarray,
+                           num_classes: int):
+    """Exact port of the reference's ADE20k accumulator
+    (segm_eval.py:25-45): classes are 1-indexed, label 0 = unlabeled
+    (predictions there are not penalised). Returns per-class
+    (intersection, union) arrays of length num_classes."""
+    pred = np.asarray(pred).copy()
+    label = np.asarray(label)
+    pred = pred * (label > 0)
+    inter = pred * (pred == label)
+    area_inter, _ = np.histogram(inter, bins=num_classes,
+                                 range=(1, num_classes))
+    area_pred, _ = np.histogram(pred, bins=num_classes,
+                                range=(1, num_classes))
+    area_label, _ = np.histogram(label, bins=num_classes,
+                                 range=(1, num_classes))
+    return area_inter, area_pred + area_label - area_inter
+
+
+def miou_from_maps(preds, labels, num_classes: int = 150) -> float:
+    """Reference `calculate_miou_given_paths` math (segm_eval.py:48-66):
+    accumulate intersection/union over the dataset, average over all
+    classes (zero-union classes contribute 0)."""
+    all_inter = np.zeros(num_classes, np.float64)
+    all_union = np.zeros(num_classes, np.float64)
+    for pred, label in zip(preds, labels):
+        inter, union = intersection_and_union(pred, label, num_classes)
+        all_inter += inter
+        all_union += union
+    return float((all_inter / (all_union + 1e-10)).mean())
 
 
 def mean_iou(pred: np.ndarray, gt: np.ndarray, num_classes: int,

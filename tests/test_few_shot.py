@@ -40,6 +40,51 @@ def test_random_few_shot():
     assert batch["image_tensors"].shape[1] >= 3
 
 
+def test_vqa_few_shot():
+    from mm_interleaved_tpu.data.collators import VQACollator
+
+    class FakeVQATrain:
+        def __init__(self, n=6, seed=1):
+            rng = np.random.RandomState(seed)
+            self.items = [
+                (rng.rand(8, 8, 3).astype(np.float32),
+                 f"what is {i}?", [f"thing{i}"], i)
+                for i in range(n)
+            ]
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    rng = np.random.RandomState(0)
+    q = (rng.rand(8, 8, 3).astype(np.float32), "what is this?", ["x"], 0)
+
+    # default template = text-only exemplars (reference collator.py:63-67):
+    # one image in the stream, Q/A pairs in the prompt
+    coll = VQACollator(
+        TOK, SP, num_img_token=NTOK, seq_len=160,
+        few_shot_k=2, train_dataset=FakeVQATrain(),
+    )
+    batch = coll([q])
+    assert batch["num_image_per_seq"][0] == 1
+    # exemplar Q/A text lengthens the prompt vs zero-shot
+    zero = VQACollator(TOK, SP, num_img_token=NTOK, seq_len=160)([q])
+    assert batch["attention_mask"].sum() > zero["attention_mask"].sum()
+
+    # image-bearing template: exemplar images precede the query image
+    coll2 = VQACollator(
+        TOK, SP, num_img_token=NTOK, seq_len=200,
+        few_shot_k=2, train_dataset=FakeVQATrain(),
+        few_shot_template="{image}Question: {question} Short answer: "
+                          "{answer}{eos_token}",
+    )
+    batch2 = coll2([q])
+    assert batch2["num_image_per_seq"][0] == 3
+    assert (batch2["text_ids"] == SP.image_token_id).sum() == 3 * NTOK
+
+
 def test_rices_few_shot_retrieves_similar():
     ds = FakeDataset()
 

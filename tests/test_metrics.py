@@ -67,3 +67,42 @@ def test_mean_iou():
     gt = np.array([[0, 1, 1, 255]])
     # class0: inter 1 union 2 -> 0.5 ; class1: inter 1 union 2 -> 0.5
     assert abs(mean_iou(pred, gt, num_classes=2) - 0.5) < 1e-9
+
+
+def _load_ref_vqaeval():
+    """The official VQAEval fork vendored by the reference, instantiated
+    without annotation files (init only calls vqa.getQuesIds())."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_vqaeval",
+        "/root/reference/mm_interleaved/utils/vqav2_metrics_src/vqaEval.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    class _Fake:
+        def getQuesIds(self):
+            return []
+
+    return mod.VQAEval(_Fake(), _Fake())
+
+
+def test_vqa_normalisation_matches_official_scorer():
+    """Byte-parity of our normalisation vs the reference's vendored
+    vqaEval.py (processPunctuation + processDigitArticle)."""
+    ev = _load_ref_vqaeval()
+    cases = [
+        "The  DOG!", "one", "a red, shiny apple.", "3.5 meters",
+        "1,000 dollars", "dont know", "isnt it?", "yes - no",
+        "cat/dog", "it's 2 o'clock", "he said \"hi\"", "maam",
+        "youd've thought so", "somebody'd", "none", "ten",
+        "2.(5)", "semi-colon; here", "trailing space ", " (parens) ",
+        "x@y", "a_b_c", "5+5=10", "what?!", "o'clock oclock",
+    ]
+    for s in cases:
+        ours = normalize_vqa_answer(s)
+        ref = ev.processDigitArticle(ev.processPunctuation(
+            s.replace("\n", " ").replace("\t", " ").strip()
+        ))
+        assert ours == ref, (s, ours, ref)

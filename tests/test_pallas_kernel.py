@@ -7,7 +7,10 @@ import jax.numpy as jnp
 import pytest
 
 from mm_interleaved_tpu.ops.ms_deform_attn import ms_deform_attn
-from mm_interleaved_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_pallas
+from mm_interleaved_tpu.ops.ms_deform_attn_pallas import (
+    ms_deform_attn_pallas,
+    ms_deform_attn_pallas_v2,
+)
 
 
 @pytest.mark.parametrize("shapes,Lq,P", [
@@ -31,6 +34,32 @@ def test_matches_oracle_interpret(shapes, Lq, P):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("shapes,Lq,P", [
+    (((12, 16), (6, 8), (3, 4)), 50, 6),  # non-square, odd sizes, pc=2
+    (((16, 16), (8, 8)), 40, 8),          # pc hits 4/8 on small budgets
+    (((8, 8),), 33, 2),
+])
+def test_v2_matches_oracle_interpret(shapes, Lq, P):
+    """v2 (stacked points + D-major values + repeat expansion) keeps the
+    exact f32 numerics of the oracle."""
+    rng = np.random.RandomState(0)
+    S = sum(h * w for h, w in shapes)
+    B, H, D = 2, 4, 16
+    L = len(shapes)
+    value = rng.randn(B, S, H, D).astype(np.float32) * 0.1
+    loc = rng.uniform(-0.2, 1.2, size=(B, Lq, H, L, P, 2)).astype(np.float32)
+    w = rng.rand(B, Lq, H, L, P).astype(np.float32)
+    want = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc), jnp.array(w))
+    for budget in (64 * 1024, 2 * 1024 * 1024):  # force different chunkings
+        got = ms_deform_attn_pallas_v2(
+            jnp.array(value), shapes, jnp.array(loc), jnp.array(w),
+            tile_q=32, vmem_budget=budget, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
 
 
 def test_query_padding():

@@ -42,8 +42,18 @@ def test_story_collator_shapes():
     )
 
 
-@pytest.mark.slow
-def test_storytelling_eval_loop(tmp_path):
+def _toy_feature_fn(images):
+    """[N, H, W, 3] -> [N, 8]: fixed random projection of downsampled
+    pixels (stand-in for CLIP/Inception features in loop tests)."""
+    x = np.asarray(images, np.float32)
+    x = x[:, :: max(1, x.shape[1] // 4), :: max(1, x.shape[2] // 4)]
+    flat = x.reshape(len(x), -1)
+    proj = np.random.RandomState(0).randn(flat.shape[1], 8)
+    return flat @ proj
+
+
+@pytest.fixture(scope="module")
+def story_model():
     model = MMInterleaved(CFG)
     coll = StoryCollator(TOK, TOK.special, num_img_token=CFG.num_img_token,
                          seq_len=48, max_num_images=CFG.max_num_images)
@@ -61,12 +71,70 @@ def test_storytelling_eval_loop(tmp_path):
             (2, CFG.max_num_images, 16, 16, 3), jnp.float32
         ),
     )
+    return model, params, coll, jbatch
+
+
+@pytest.mark.slow
+def test_storytelling_eval_loop(story_model, tmp_path):
+    model, params, coll, jbatch = story_model
     ev = Evaluator(model, params, TOK, EvalConfig(
         num_inference_steps=2, output_dir=str(tmp_path),
     ))
-    result = ev.evaluate_storytelling(iter([jbatch]), "tiny_story")
+    result = ev.evaluate_storytelling(
+        iter([jbatch]), "tiny_story", feature_fn=_toy_feature_fn
+    )
     assert result["num_generated"] == 2
+    assert np.isfinite(result["fid"]) and result["fid"] >= 0.0
+    assert -1.0 <= result["clip_sim_i2i"] <= 1.0
     import os
 
     files = os.listdir(tmp_path / "tiny_story")
     assert len(files) == 2
+
+
+@pytest.mark.slow
+def test_segm2img_eval_loop(story_model, tmp_path):
+    """ADE20k-style generate_segm route: StoryCollator batch, pluggable
+    segmenter, official intersection-and-union mIoU."""
+    model, params, coll, jbatch = story_model
+    ev = Evaluator(model, params, TOK, EvalConfig(
+        num_inference_steps=2, output_dir=str(tmp_path),
+    ))
+    rng = np.random.RandomState(3)
+    gt = {i: rng.randint(0, 5, (16, 16)) for i in range(2)}
+
+    def fake_segment(img):
+        # constant class-1 prediction at generated resolution
+        return np.ones(img.shape[:2], np.int32)
+
+    result = ev.evaluate_segm2img(
+        iter([jbatch]), gt, segment_fn=fake_segment,
+        dataset_name="tiny_ade20k", num_classes=5,
+    )
+    assert result["num_generated"] == 2
+    assert 0.0 <= result["miou"] <= 1.0
+
+
+@pytest.mark.slow
+def test_t2i_eval_fid_and_rerank(story_model, tmp_path):
+    """t2i loop with in-loop FID + 2-candidate rerank."""
+    from mm_interleaved_tpu.utils.fid import make_clip_rerank_fn
+
+    model, params, coll, jbatch = story_model
+    ev = Evaluator(model, params, TOK, EvalConfig(
+        num_inference_steps=2, output_dir=str(tmp_path),
+    ))
+
+    def text_feature_fn(captions):
+        rng = np.random.RandomState(1)
+        return rng.randn(len(captions), 8)
+
+    rerank = make_clip_rerank_fn(_toy_feature_fn, text_feature_fn)
+    batch = dict(jbatch)
+    batch["meta"] = [(i, f"caption {i}") for i in range(2)]
+    result = ev.evaluate_t2i(
+        iter([batch]), "tiny_t2i", num_candidates=2,
+        rerank_fn=rerank, feature_fn=_toy_feature_fn,
+    )
+    assert result["num_generated"] == 2
+    assert np.isfinite(result["fid"]) and result["fid"] >= 0.0
