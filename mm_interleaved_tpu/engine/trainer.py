@@ -62,6 +62,10 @@ class TrainerConfig:
     # micro-batches per optimizer step; the train step consumes batches with
     # a leading [grad_accum_steps, ...] axis when > 1
     grad_accum_steps: int = 1
+    # route large-Q deformable-attention calls through the differentiable
+    # Pallas kernel (custom_vjp fwd+bwd) while tracing the train step; a
+    # no-op off-TPU (the dispatch checks the backend at trace time)
+    pallas_deform: bool = True
 
 
 class Trainer:
@@ -174,7 +178,18 @@ class Trainer:
         accum = self.cfg.grad_accum_steps
         metric_keys = ("loss_txt", "loss_img")
 
+        use_pallas = self.cfg.pallas_deform
+
         def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+            from contextlib import nullcontext
+
+            from ..ops.ms_deform_attn import pallas_deform_training
+
+            ctx = pallas_deform_training() if use_pallas else nullcontext()
+            with ctx:  # trace-time dispatch; no runtime effect
+                return _step_body(state, batch)
+
+        def _step_body(state: TrainState, batch: Dict[str, jax.Array]):
             rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
 
             def loss_fn(params, mb, r_noise, r_drop):

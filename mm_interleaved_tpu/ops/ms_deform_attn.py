@@ -132,15 +132,19 @@ def _onehot_level(
 # (measured on v5e: decode-shape gather 2.7ms vs <0.3ms dense)
 SMALL_Q_THRESHOLD = 16
 
-# inference-only Pallas kernel dispatch (the kernel has no backward; the
-# generation runtimes flip this around their trace, training never sees it)
+# inference-mode Pallas dispatch flag (generation runtimes flip this around
+# their trace; both modes now route to the same differentiable v4 kernel)
 _PALLAS_INFERENCE_MODE = False
+# training-path dispatch: routes to the custom_vjp kernel (Pallas forward +
+# Pallas backward — the TPU analogue of the reference's 6 CUDA backward
+# variants, ms_deform_im2col_cuda.cuh:305-925)
+_PALLAS_TRAINING_MODE = False
 
 
 class pallas_deform_inference:
     """Context manager enabling the Pallas deformable kernel for large-Q
-    inference calls traced inside it (measured 1.4-2.1x over the XLA gather
-    on v5e at UNet/prefill shapes)."""
+    inference calls traced inside it (dense bilinear-matrix v4 kernel,
+    measured 2.5-4x over the XLA gather on v5e at UNet/prefill shapes)."""
 
     def __enter__(self):
         global _PALLAS_INFERENCE_MODE
@@ -152,10 +156,26 @@ class pallas_deform_inference:
         _PALLAS_INFERENCE_MODE = self._prev
 
 
+class pallas_deform_training:
+    """Context manager routing large-Q deformable calls to the
+    differentiable Pallas kernel (`ms_deform_attn_pallas_v4_trainable`) —
+    forward + transposed-matmul backward, grads verified against the XLA
+    autodiff path in tests/test_pallas_kernel.py."""
+
+    def __enter__(self):
+        global _PALLAS_TRAINING_MODE
+        self._prev = _PALLAS_TRAINING_MODE
+        _PALLAS_TRAINING_MODE = True
+
+    def __exit__(self, *exc):
+        global _PALLAS_TRAINING_MODE
+        _PALLAS_TRAINING_MODE = self._prev
+
+
 def _pallas_eligible(Lq: int) -> bool:
     import os
 
-    if not _PALLAS_INFERENCE_MODE:
+    if not (_PALLAS_INFERENCE_MODE or _PALLAS_TRAINING_MODE):
         return False
     if os.environ.get("MMI_DISABLE_PALLAS_DEFORM"):
         return False
@@ -196,11 +216,15 @@ def ms_deform_attn(
 
     Lq = sampling_locations.shape[1]
     if _pallas_eligible(Lq):
-        from .ms_deform_attn_pallas import ms_deform_attn_pallas
+        # both modes use the differentiable dense bilinear-matrix kernel
+        # (custom_vjp; the forward is identical either way)
+        from .ms_deform_attn_pallas_v4 import (
+            ms_deform_attn_pallas_v4_trainable,
+        )
 
-        return ms_deform_attn_pallas(
+        return ms_deform_attn_pallas_v4_trainable(
             value, tuple(spatial_shapes), sampling_locations,
-            attention_weights, tile_q=128,
+            attention_weights,
         )
 
     out_dtype = value.dtype

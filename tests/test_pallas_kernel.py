@@ -1,5 +1,9 @@
-"""Pallas separable deformable-attention kernel vs the XLA oracle
-(interpret mode on CPU; on-chip parity checked in scripts/perf_probe.py)."""
+"""Pallas deformable-attention kernels vs the XLA oracle
+(interpret mode on CPU; on-chip parity checked in scripts/perf_probe.py).
+
+Production dispatch (`ops.ms_deform_attn`) routes to the v4 dense
+bilinear-matrix kernel for both inference and training; v1 (separable
+one-hot) is kept as a comparison baseline for the kernel benchmarks."""
 
 import numpy as np
 import jax
@@ -9,7 +13,10 @@ import pytest
 from mm_interleaved_tpu.ops.ms_deform_attn import ms_deform_attn
 from mm_interleaved_tpu.ops.ms_deform_attn_pallas import (
     ms_deform_attn_pallas,
-    ms_deform_attn_pallas_v2,
+)
+from mm_interleaved_tpu.ops.ms_deform_attn_pallas_v4 import (
+    ms_deform_attn_pallas_v4,
+    ms_deform_attn_pallas_v4_trainable,
 )
 
 
@@ -18,7 +25,7 @@ from mm_interleaved_tpu.ops.ms_deform_attn_pallas import (
     (((16, 16), (8, 8)), 40, 8),
     (((8, 8),), 33, 2),  # rows below the sublane multiple (padding path)
 ])
-def test_matches_oracle_interpret(shapes, Lq, P):
+def test_v1_matches_oracle_interpret(shapes, Lq, P):
     rng = np.random.RandomState(0)
     S = sum(h * w for h, w in shapes)
     B, H, D = 2, 4, 16
@@ -37,13 +44,14 @@ def test_matches_oracle_interpret(shapes, Lq, P):
 
 
 @pytest.mark.parametrize("shapes,Lq,P", [
-    (((12, 16), (6, 8), (3, 4)), 50, 6),  # non-square, odd sizes, pc=2
-    (((16, 16), (8, 8)), 40, 8),          # pc hits 4/8 on small budgets
+    (((12, 16), (6, 8), (3, 4)), 50, 6),  # non-power-of-2 H (lane padding)
+    (((16, 16), (8, 8)), 40, 8),
     (((8, 8),), 33, 2),
+    (((7, 9),), 21, 4),  # H coprime with the lane count (wp = 128)
 ])
-def test_v2_matches_oracle_interpret(shapes, Lq, P):
-    """v2 (stacked points + D-major values + repeat expansion) keeps the
-    exact f32 numerics of the oracle."""
+def test_v4_matches_oracle_interpret(shapes, Lq, P):
+    """v4 (dense bilinear matrix + single matmul per level) keeps the exact
+    f32 numerics of the oracle, including out-of-grid zero semantics."""
     rng = np.random.RandomState(0)
     S = sum(h * w for h, w in shapes)
     B, H, D = 2, 4, 16
@@ -52,29 +60,92 @@ def test_v2_matches_oracle_interpret(shapes, Lq, P):
     loc = rng.uniform(-0.2, 1.2, size=(B, Lq, H, L, P, 2)).astype(np.float32)
     w = rng.rand(B, Lq, H, L, P).astype(np.float32)
     want = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc), jnp.array(w))
-    for budget in (64 * 1024, 2 * 1024 * 1024):  # force different chunkings
-        got = ms_deform_attn_pallas_v2(
-            jnp.array(value), shapes, jnp.array(loc), jnp.array(w),
-            tile_q=32, vmem_budget=budget, interpret=True,
-        )
+    got = ms_deform_attn_pallas_v4(
+        jnp.array(value), shapes, jnp.array(loc), jnp.array(w),
+        tile_q=32, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_v4_backward_matches_xla_autodiff():
+    """The v4 Pallas backward (custom_vjp: dA = dOut V^T, dV = A^T dOut,
+    hat-derivative for locations) reproduces jax.grad through the XLA gather
+    path for all three inputs — the TPU replacement of the reference's 6
+    CUDA backward variants (ms_deform_im2col_cuda.cuh:305-925)."""
+    rng = np.random.RandomState(0)
+    shapes = ((12, 16), (6, 8), (3, 4))
+    P, B, H, D, Q = 6, 2, 2, 16, 50
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    value = rng.randn(B, S, H, D).astype(np.float32) * 0.1
+    # interior points: the location gradient is defined away from texel edges
+    loc = rng.uniform(0.05, 0.95, (B, Q, H, L, P, 2)).astype(np.float32)
+    w = rng.rand(B, Q, H, L, P).astype(np.float32)
+
+    def loss_xla(v, l, a):
+        return (ms_deform_attn(v, shapes, l, a) ** 2).sum()
+
+    def loss_pal(v, l, a):
+        return (ms_deform_attn_pallas_v4_trainable(
+            v, shapes, l, a, 32, True
+        ) ** 2).sum()
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w)
+    )
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w)
+    )
+    for a, b in zip(g_ref, g_pal):
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
         )
 
 
-def test_query_padding():
-    """Q not a multiple of tile_q pads and unpads correctly."""
+def test_training_mode_dispatch():
+    """`pallas_deform_training` routes large-Q calls through the custom_vjp
+    kernel and restores the previous mode on exit."""
+    import importlib
+
+    # the package re-exports the same-named function, shadowing the module
+    M = importlib.import_module("mm_interleaved_tpu.ops.ms_deform_attn")
+
+    with M.pallas_deform_training():
+        assert M._PALLAS_TRAINING_MODE
+        assert M._pallas_eligible(512) or jax.default_backend() == "cpu"
+    assert not M._PALLAS_TRAINING_MODE
+
+
+def test_v4_query_padding():
+    """Q not a multiple of tile_q pads and unpads correctly, in both the
+    forward and the backward (padded-query grads must not leak)."""
     rng = np.random.RandomState(1)
     shapes = ((8, 8),)
     value = rng.randn(1, 64, 2, 8).astype(np.float32)
     loc = rng.rand(1, 19, 2, 1, 3, 2).astype(np.float32)
     w = rng.rand(1, 19, 2, 1, 3).astype(np.float32)
     want = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc), jnp.array(w))
-    got = ms_deform_attn_pallas(
+    got = ms_deform_attn_pallas_v4(
         jnp.array(value), shapes, jnp.array(loc), jnp.array(w),
         tile_q=16, interpret=True,
     )
     assert got.shape == want.shape == (1, 19, 16)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+    def loss(v):
+        return (ms_deform_attn_pallas_v4_trainable(
+            v, shapes, jnp.array(loc), jnp.array(w), 16, True
+        ) ** 2).sum()
+
+    def loss_ref(v):
+        return (ms_deform_attn(v, shapes, jnp.array(loc), jnp.array(w)) ** 2).sum()
+
+    gv = jax.grad(loss)(jnp.array(value))
+    gv_ref = jax.grad(loss_ref)(jnp.array(value))
+    np.testing.assert_allclose(
+        np.asarray(gv), np.asarray(gv_ref), rtol=1e-4, atol=1e-5
     )
