@@ -9,14 +9,16 @@ cross-attention active) + sample one image with a 25-step denoise loop —
 i.e. one text->image round of the reference's `inference.py` loop
 (reference inference.py:237-272).
 
-Baseline: the reference pipeline on A100 (Vicuna-13B fp16 beam-5 ~30 tokens +
-SD-2.1 250-step DDPM denoise, per README protocol) sustains on the order of
-0.05 interleaved turns/s/GPU.  BASELINE.json pins no published number
-("published": {}), so `vs_baseline` is measured against that envelope
-estimate scaled to this preset; the north star is >=5x per chip.
+Baseline: the reference publishes no numbers (BASELINE.json "published": {}),
+so `vs_baseline` divides by a component-wise A100-80GB estimate of the
+reference pipeline (HF eager decode + diffusers UNet + CUDA MSDeformAttn)
+at the SAME model scale, batch and workload as the measured preset — see
+`_a100_turns_per_sec_est` for the component model and BASELINE.md for the
+sources.  The round-1 figure divided a small-preset measurement by a
+13B/250-step envelope (~65x scale mismatch); this is the honest version.
 
 Env:
-  BENCH_PRESET=small|base   (default small)
+  BENCH_PRESET=base|small   (default base — 1.4B LLaMA + ViT-L + SD-2.1 UNet)
   BENCH_BATCH, BENCH_DECODE_TOKENS, BENCH_DENOISE_STEPS, BENCH_REPS
 """
 
@@ -25,7 +27,31 @@ import os
 import sys
 import time
 
-A100_TURNS_PER_SEC_EST = 0.05
+def _a100_turns_per_sec_est(preset, B, n_decode, n_denoise):
+    """Component-wise A100-80GB estimate for the reference stack at the
+    given preset/workload (same batch, token and denoise-step counts).
+
+    Components (public A100 figures, reference-style unoptimized inference:
+    HF eager-attention decode, diffusers fp16 UNet + CFG, MMFS overhead
+    from the reference's own CUDA kernel share):
+      * batched HF decode throughput (tok/s at batch B=8): ~240 for a 1.4B
+        model, ~720 for the ~200M small preset (HF eager decode is
+        latency-bound; batch scaling ~6x at B=8).
+      * SD-2.1 UNet 512px with CFG at batch 8: ~2.0 denoise steps/s;
+        MMFSNet adds ~25% (reference sd_mmfs blocks) -> 1.6 steps/s.
+        At the small preset's 128px: ~16x fewer pixels -> ~12 steps/s.
+    """
+    if preset == "base":
+        # ~30 tok/s/row batched HF decode for 1.4B; 512px CFG UNet is
+        # pixel-bound: ~12.8 denoise steps/s aggregate / 1.25 MMFS overhead
+        tok_per_sec = 30.0 * B
+        denoise_steps_per_sec = 10.24 / B
+    else:  # small (~200M LLM, 128px decoder: ~16x fewer pixels)
+        tok_per_sec = 90.0 * B
+        denoise_steps_per_sec = 96.0 / B
+    t_text = B * n_decode / tok_per_sec
+    t_img = n_denoise / denoise_steps_per_sec
+    return B / (t_text + t_img)
 
 
 def run_bench():
@@ -41,8 +67,9 @@ def run_bench():
     )
     from mm_interleaved_tpu.models.mm_interleaved import MMInterleaved
 
-    preset = os.environ.get("BENCH_PRESET", "small")
-    B = int(os.environ.get("BENCH_BATCH", "8"))
+    preset = os.environ.get("BENCH_PRESET", "base")
+    # 512px SD with CFG at the base preset OOMs one v5e chip above B=2
+    B = int(os.environ.get("BENCH_BATCH", "2" if preset == "base" else "8"))
     n_decode = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
     n_denoise = int(os.environ.get("BENCH_DENOISE_STEPS", "25"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -146,12 +173,14 @@ def run_bench():
     dt = time.time() - t0
 
     turns_per_sec = reps * B / dt
+    baseline = _a100_turns_per_sec_est(preset, B, n_decode, n_denoise)
     return {
         "metric": "interleaved_turns_per_sec_per_chip",
         "value": round(turns_per_sec, 4),
         "unit": f"turns/s/chip (preset={preset}, B={B}, "
                 f"{n_decode} tok + {n_denoise} denoise steps)",
-        "vs_baseline": round(turns_per_sec / A100_TURNS_PER_SEC_EST, 2),
+        "vs_baseline": round(turns_per_sec / baseline, 2),
+        "baseline_est_turns_per_sec": round(baseline, 4),
     }
 
 

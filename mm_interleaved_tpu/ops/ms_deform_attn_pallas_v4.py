@@ -92,18 +92,50 @@ def _build_A(slab, iox, ioy, h, wp, n_points, aw_scale=None):
     return A
 
 
-def _kernel_v4(slab_ref, v_ref, out_ref, *, h, w, n_points, head_dim,
-               tile_q):
+def _build_A_mxu(slab, e_mat, ioy, h, wp, n_points):
+    """A-build with the x-factor expanded on the MXU instead of computed on
+    wide VPU arrays: both hat factors evaluate on narrow [TQ, W]/[TQ, H]
+    arrays (exact f32 coordinates), then ``wx @ E`` with the 0/1 expansion
+    matrix ``E[x, x*H+y] = 1`` lifts the x-weights to the wide layout.
+    ~3 wide VPU ops per point instead of ~6; the wx values round to bf16
+    for the expansion matmul (~0.4% on the weights), so this path is used
+    only when the value tensor is bf16 anyway."""
+    tile_q = slab.shape[0]
+    iox_s = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_q, wp), 1).astype(jnp.float32)
+    A = None
+    for p in range(n_points):
+        xs = slab[:, 3 * p + 0 : 3 * p + 1]
+        ys = slab[:, 3 * p + 1 : 3 * p + 2]
+        aw = slab[:, 3 * p + 2 : 3 * p + 3]
+        wx = _hat(iox_s - xs)  # [TQ, Wp]
+        wy = _hat(ioy - ys) * aw  # [TQ, H]
+        wxe = jnp.dot(
+            wx.astype(e_mat.dtype), e_mat,
+            preferred_element_type=jnp.float32,
+        )  # [TQ, H*Wp]
+        contrib = wxe * pltpu.repeat(wy, wp, 1)
+        A = contrib if A is None else A + contrib
+    return A
+
+
+def _kernel_v4(slab_ref, v_ref, *refs, h, w, n_points, head_dim,
+               tile_q, mxu_expand):
+    out_ref = refs[-1]
     hwp = v_ref.shape[2]
     wp = hwp // h
     value_mat = v_ref[0, 0, :, :]  # [HWp, D]
 
-    iox = (jax.lax.broadcasted_iota(jnp.int32, (tile_q, hwp), 1)
-           // h).astype(jnp.float32)
     ioy = jax.lax.broadcasted_iota(
         jnp.int32, (tile_q, h), 1).astype(jnp.float32)
 
-    A = _build_A(slab_ref[0, 0, :, :], iox, ioy, h, wp, n_points)
+    if mxu_expand:
+        e_mat = refs[0][0, 0, :, :]  # [Wp, HWp] 0/1 expansion
+        A = _build_A_mxu(slab_ref[0, 0, :, :], e_mat, ioy, h, wp, n_points)
+    else:
+        iox = (jax.lax.broadcasted_iota(jnp.int32, (tile_q, hwp), 1)
+               // h).astype(jnp.float32)
+        A = _build_A(slab_ref[0, 0, :, :], iox, ioy, h, wp, n_points)
     out_ref[0, 0, :, :] = jnp.dot(
         A.astype(value_mat.dtype), value_mat,
         preferred_element_type=jnp.float32,
@@ -111,8 +143,8 @@ def _kernel_v4(slab_ref, v_ref, out_ref, *, h, w, n_points, head_dim,
     )
 
 
-def _kernel_v4_bwd_dv(slab_ref, doutt_ref, dvt_ref, *,
-                      h, w, n_points, head_dim, tile_q):
+def _kernel_v4_bwd_dv(slab_ref, doutt_ref, *refs,
+                      h, w, n_points, head_dim, tile_q, mxu_expand):
     """grad_value kernel: rebuild A, then one matmul per query tile.
 
     All matmuls stay in natural MXU orientation — the host supplies dOut
@@ -122,19 +154,24 @@ def _kernel_v4_bwd_dv(slab_ref, doutt_ref, dvt_ref, *,
     (t innermost) — the TPU replacement for the reference's atomicAdd
     scatter.  Split from the dslab kernel so each side's VMEM live set
     fits the 16 MB budget at the (64, 64)-level UNet shapes."""
+    dvt_ref = refs[-1]
     hwp = dvt_ref.shape[3]
     wp = hwp // h
     t_id = pl.program_id(2)
     slab = slab_ref[0, 0, :, :]
 
-    iox = (jax.lax.broadcasted_iota(jnp.int32, (tile_q, hwp), 1)
-           // h).astype(jnp.float32)
     ioy = jax.lax.broadcasted_iota(
         jnp.int32, (tile_q, h), 1).astype(jnp.float32)
 
     doutt = doutt_ref[0, 0, :, :]  # [D, TQ]
     cdt = doutt.dtype
-    A = _build_A(slab, iox, ioy, h, wp, n_points)
+    if mxu_expand:
+        e_mat = refs[0][0, 0, :, :]
+        A = _build_A_mxu(slab, e_mat, ioy, h, wp, n_points)
+    else:
+        iox = (jax.lax.broadcasted_iota(jnp.int32, (tile_q, hwp), 1)
+               // h).astype(jnp.float32)
+        A = _build_A(slab, iox, ioy, h, wp, n_points)
     # dV^T += dOut^T @ A : [D, TQ] @ [TQ, HWp]
     dvt = jax.lax.dot_general(
         doutt, A.astype(cdt), (((1,), (0,)), ((), ())),
@@ -198,6 +235,16 @@ def _kernel_v4_bwd_dslab(slab_ref, vt_ref, dout_ref, dslab_ref, *,
         dslab_ref[0, 0, :, 3 * p + 2 : 3 * p + 3] = daw
 
 
+def _expansion_matrix(h: int, wp: int) -> jax.Array:
+    """0/1 matrix lifting x-weights to the x-major wide layout:
+    ``E[x, f] = 1  iff  x == f // H`` (so ``wx @ E`` repeats each x-weight
+    H times consecutively). bf16 — exact for 0/1."""
+    hwp = h * wp
+    rows = jax.lax.broadcasted_iota(jnp.int32, (wp, hwp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (wp, hwp), 1)
+    return (cols // h == rows).astype(jnp.bfloat16)
+
+
 def _host_prep(value, level_shapes, sampling_locations, attention_weights,
                tile_q):
     """Per-level packed slabs [B, H, Qp, P*3] + value slabs [B, H, HWp, D]."""
@@ -257,16 +304,27 @@ def ms_deform_attn_pallas_v4(
         value, level_shapes, sampling_locations, attention_weights, tile_q
     )
     n_tiles = Qp // tile_q
+    # MXU x-expansion needs bf16 weights anyway; keep the exact-f32 VPU
+    # build when the value (and hence the A matmul) is f32
+    mxu_expand = value.dtype == jnp.bfloat16
 
     acc = None
     for lid, ((h_l, w_l), slab, v) in enumerate(
         zip(level_shapes, slabs, level_vals)
     ):
         hwp = v.shape[2]
+        extra, extra_specs = [], []
+        if mxu_expand:
+            extra = [_expansion_matrix(h_l, hwp // h_l)[None, None]]
+            extra_specs = [pl.BlockSpec(
+                (1, 1, hwp // h_l, hwp),
+                lambda b, hh, t: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )]
         out = pl.pallas_call(
             functools.partial(
                 _kernel_v4, h=h_l, w=w_l, n_points=P, head_dim=D,
-                tile_q=tile_q,
+                tile_q=tile_q, mxu_expand=mxu_expand,
             ),
             grid=(B, H, n_tiles),
             in_specs=[
@@ -280,7 +338,7 @@ def ms_deform_attn_pallas_v4(
                     lambda b, hh, t: (b, hh, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-            ],
+            ] + extra_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, tile_q, D),
                 lambda b, hh, t: (b, hh, t, 0),
@@ -288,7 +346,7 @@ def ms_deform_attn_pallas_v4(
             ),
             out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), jnp.float32),
             interpret=interpret,
-        )(slab, v)
+        )(slab, v, *extra)
         acc = out if acc is None else acc + out
     out = acc[:, :, :Q].transpose(0, 2, 1, 3)
     return out.reshape(B, Q, H * D).astype(value.dtype)
@@ -322,6 +380,8 @@ def _ms_deform_attn_pallas_v4_bwd(
         memory_space=pltpu.VMEM,
     )
 
+    mxu_expand = value.dtype == jnp.bfloat16
+
     dv_parts, dslab_parts = [], []
     for lid, ((h_l, w_l), slab, v) in enumerate(
         zip(level_shapes, slabs, level_vals)
@@ -329,11 +389,19 @@ def _ms_deform_attn_pallas_v4_bwd(
         hwp = v.shape[2]
         wp = hwp // h_l
         vt = v.transpose(0, 1, 3, 2)  # [B, H, D, HWp] (host relayout)
+        extra, extra_specs = [], []
+        if mxu_expand:
+            extra = [_expansion_matrix(h_l, wp)[None, None]]
+            extra_specs = [pl.BlockSpec(
+                (1, 1, wp, hwp),
+                lambda b, hh, t: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )]
 
         dvt = pl.pallas_call(
             functools.partial(
                 _kernel_v4_bwd_dv, h=h_l, w=w_l, n_points=P, head_dim=D,
-                tile_q=tile_q,
+                tile_q=tile_q, mxu_expand=mxu_expand,
             ),
             grid=(B, H, n_tiles),
             in_specs=[
@@ -343,7 +411,7 @@ def _ms_deform_attn_pallas_v4_bwd(
                     lambda b, hh, t: (b, hh, 0, t),
                     memory_space=pltpu.VMEM,
                 ),
-            ],
+            ] + extra_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, D, hwp),
                 lambda b, hh, t: (b, hh, 0, 0),
@@ -351,7 +419,7 @@ def _ms_deform_attn_pallas_v4_bwd(
             ),
             out_shape=jax.ShapeDtypeStruct((B, H, D, hwp), jnp.float32),
             interpret=interpret,
-        )(slab, doutt)
+        )(slab, doutt, *extra)
 
         dslab = pl.pallas_call(
             functools.partial(

@@ -69,6 +69,40 @@ def test_v4_matches_oracle_interpret(shapes, Lq, P):
     )
 
 
+def test_v4_bf16_mxu_expand_path():
+    """bf16 values select the MXU x-expansion build (`_build_A_mxu`);
+    output and dV must track the XLA oracle within bf16 tolerance."""
+    rng = np.random.RandomState(0)
+    shapes = ((12, 16), (6, 8))
+    P, B, H, D, Q = 4, 2, 2, 16, 50
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    value = jnp.asarray(
+        rng.randn(B, S, H, D).astype(np.float32) * 0.1, jnp.bfloat16
+    )
+    loc = jnp.asarray(
+        rng.uniform(0.02, 0.98, (B, Q, H, L, P, 2)).astype(np.float32))
+    w = jnp.asarray(rng.rand(B, Q, H, L, P).astype(np.float32))
+
+    ref = np.asarray(ms_deform_attn(value, shapes, loc, w), np.float32)
+    got = np.asarray(ms_deform_attn_pallas_v4(
+        value, shapes, loc, w, 32, True), np.float32)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-2
+
+    def loss_pal(v):
+        return (ms_deform_attn_pallas_v4_trainable(
+            v, shapes, loc, w, 32, True).astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(v):
+        return (ms_deform_attn(
+            v, shapes, loc, w).astype(jnp.float32) ** 2).sum()
+
+    g = np.asarray(jax.grad(loss_pal)(value), np.float32)
+    gr = np.asarray(jax.grad(loss_ref)(value), np.float32)
+    assert np.abs(g - gr).max() / np.abs(gr).max() < 2e-2
+
+
 def test_v4_backward_matches_xla_autodiff():
     """The v4 Pallas backward (custom_vjp: dA = dOut V^T, dV = A^T dOut,
     hat-derivative for locations) reproduces jax.grad through the XLA gather
