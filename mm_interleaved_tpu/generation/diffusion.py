@@ -22,6 +22,31 @@ def _decoder(m):
     return m.image_decoder
 
 
+def _extract_mmfs_projections(inters):
+    """Collect the per-block sown value projections from a capture pass,
+    ordered (down_blocks_0..N, mid_block) to match `MMFSNet.__call__`."""
+
+    def find(tree, key):
+        if not isinstance(tree, dict):
+            return None
+        if key in tree:
+            return tree[key]
+        for v in tree.values():
+            hit = find(v, key)
+            if hit is not None:
+                return hit
+        return None
+
+    net = find(inters, "mmfs_net")
+    if net is None:
+        return None
+    n_down = sum(1 for k in net if k.startswith("down_blocks_"))
+    names = [f"down_blocks_{i}" for i in range(n_down)] + ["mid_block"]
+    return tuple(
+        net[name]["mmfs"]["projected_value"][0] for name in names
+    )
+
+
 def generate_images(
     model,
     variables,
@@ -79,6 +104,31 @@ def generate_images(
     ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], ts.dtype)])
     step_rngs = jax.random.split(rng, num_inference_steps)
 
+    # hoist the step-invariant MMFS feat_norm + value projections out of the
+    # denoise scan: one capture pass sows each block's projection, the scan
+    # then reuses them (the reference recomputes per step,
+    # sd_mmfs.py:99-120 inside every patched UNet forward)
+    mmfs_projected = None
+    if mmfs_in is not None:
+        cap_B = 2 * B if do_cfg else B
+        dummy = jnp.zeros(
+            (cap_B, cfg.latent_size, cfg.latent_size,
+             cfg.vae.latent_channels), jnp.float32,
+        )
+        _, inters = model.apply(
+            variables,
+            dummy,
+            jnp.zeros((cap_B,), jnp.int32),
+            ctx_in,
+            mmfs_in,
+            mask_in,
+            method=lambda m, *a: decoder(m).unet_pred(*a),
+            mutable=["intermediates"],
+        )
+        mmfs_projected = _extract_mmfs_projections(
+            inters["intermediates"]
+        )
+
     def unet_fn(latents_in, tb):
         return model.apply(
             variables,
@@ -87,6 +137,7 @@ def generate_images(
             ctx_in,
             mmfs_in,
             mask_in,
+            mmfs_projected,
             method=lambda m, *a: decoder(m).unet_pred(*a),
         )
 

@@ -181,13 +181,14 @@ class ImageDecoder(nn.Module):
         return ctx, neg
 
     def unet_pred(self, latents, timesteps, ctx, mmfs_values=None,
-                  mmfs_mask=None):
+                  mmfs_mask=None, mmfs_projected=None):
         return self.unet(
             latents.astype(self.cfg.unet.compute_dtype),
             timesteps,
             ctx,
             mmfs_values=mmfs_values,
             mmfs_mask=mmfs_mask,
+            mmfs_projected=mmfs_projected,
         )
 
     def vae_decode(self, latents):

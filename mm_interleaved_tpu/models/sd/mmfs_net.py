@@ -44,9 +44,14 @@ class MMFSBlock(nn.Module):
     base_spatial_shape: int
 
     @nn.compact
-    def __call__(self, sample, mmfs_values, mmfs_mask):
+    def __call__(self, sample, mmfs_values, mmfs_mask, projected_value=None):
         """sample: [B, H, W, Cq]; mmfs_values: [B, n_img, sum(hw), Cv];
-        mmfs_mask: [B, n_img]."""
+        mmfs_mask: [B, n_img].
+
+        ``projected_value`` short-circuits the step-invariant feat_norm +
+        value_proj chain: the denoise loop runs one capture pass, collects
+        each block's sown projection, and reuses it for every step (the
+        reference recomputes both per UNet call, sd_mmfs.py:99-120)."""
         c = self.cfg
         B, H, W, Cq = sample.shape
 
@@ -58,7 +63,10 @@ class MMFSBlock(nn.Module):
         pe = resize_abs_pos_embed(table, c.pos_grid_size, H)
         q = q + pe[None].astype(q.dtype)
 
-        feats = nn.LayerNorm(epsilon=1e-6, name="feat_norm")(mmfs_values)
+        feats = (
+            nn.LayerNorm(epsilon=1e-6, name="feat_norm")(mmfs_values)
+            if projected_value is None else None
+        )
 
         ref = jnp.asarray(grid_reference_points(((H, W),)))[None]
         ref = jnp.broadcast_to(ref, (B, H * W, 2))
@@ -77,7 +85,8 @@ class MMFSBlock(nn.Module):
             max_num_image_per_seq=c.max_num_image_per_seq,
             dtype=sample.dtype,
             name="mmfs",
-        )(q, feats, mmfs_mask, reference_points=ref)
+        )(q, feats, mmfs_mask, reference_points=ref,
+          projected_value=projected_value)
 
         out = rearrange(out, "b (h w) c -> b h w c", h=H)
         out = nn.Conv(
@@ -100,8 +109,13 @@ class MMFSNet(nn.Module):
     mid_size: int
 
     @nn.compact
-    def __call__(self, sample, down_block_res_samples, mmfs_values, mmfs_mask):
+    def __call__(self, sample, down_block_res_samples, mmfs_values, mmfs_mask,
+                 projected_values=None):
+        """``projected_values``: optional per-block pre-projected value
+        tuple, down blocks first then mid (len == n_down + 1)."""
         assert len(down_block_res_samples) == len(self.residual_channels)
+        pv = (projected_values if projected_values is not None
+              else (None,) * (len(self.residual_channels) + 1))
         new_res = []
         for i, res in enumerate(down_block_res_samples):
             delta = MMFSBlock(
@@ -109,9 +123,9 @@ class MMFSNet(nn.Module):
                 self.residual_channels[i],
                 self.residual_sizes[i],
                 name=f"down_blocks_{i}",
-            )(res, mmfs_values, mmfs_mask)
+            )(res, mmfs_values, mmfs_mask, projected_value=pv[i])
             new_res.append(res + delta)
         delta = MMFSBlock(
             self.cfg, self.mid_channel, self.mid_size, name="mid_block"
-        )(sample, mmfs_values, mmfs_mask)
+        )(sample, mmfs_values, mmfs_mask, projected_value=pv[-1])
         return sample + delta, tuple(new_res)

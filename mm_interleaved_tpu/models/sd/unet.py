@@ -166,6 +166,7 @@ class UNet2DConditionModel(nn.Module):
         encoder_hidden_states: jax.Array,  # [B, S, cross_dim]
         mmfs_values: Optional[jax.Array] = None,  # [B, n_img, sum hw, Cv]
         mmfs_mask: Optional[jax.Array] = None,  # [B, n_img]
+        mmfs_projected=None,  # per-block pre-projected values (denoise hoist)
     ) -> jax.Array:
         c = self.cfg
         dtype = c.compute_dtype
@@ -220,7 +221,8 @@ class UNet2DConditionModel(nn.Module):
                 mid_channel=ch,
                 mid_size=sizes[-1],
                 name="mmfs_net",
-            )(h, tuple(res_stack), mmfs_values, mmfs_mask)
+            )(h, tuple(res_stack), mmfs_values, mmfs_mask,
+              projected_values=mmfs_projected)
             res_stack = list(res_stack)
 
         # up
