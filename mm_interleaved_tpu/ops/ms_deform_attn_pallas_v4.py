@@ -1,19 +1,26 @@
 """Dense bilinear-matrix Pallas kernel for multi-scale deformable attention.
 
 Fourth-generation formulation (replaces the separable one-hot v2/v3
-experiments, see git history).  Per (batch, head, query-tile, level) the
-kernel materialises the full bilinear sampling matrix in VMEM
+experiments, see git history).  Per (batch, head, query-tile) the kernel
+materialises, for each pyramid level, the full bilinear sampling matrix in
+VMEM
 
     A[q, x*H + y] = sum_p  aw_p[q] * relu(1 - |x - xs_p[q]|)
                                    * relu(1 - |y - ys_p[q]|)
 
 and contracts it with the level's value slab in ONE matmul ``A @ V[HW, D]``.
 Compared with the per-point row/column matmul scheme (v1), this does P x
-fewer MXU FLOPs and builds the weights with pure VPU arithmetic - no
-one-hot compares on wide arrays, no `pltpu.roll`, no expansion/fold
-matmuls.  The y-factor is built on the narrow ``[TILE_Q, H]`` array and
-expanded for free with a tile-repeat (x-major texel layout), so the wide
-work is ~6 VPU ops per point.
+fewer MXU FLOPs and builds the weights with pure VPU arithmetic — no
+one-hot compares on wide arrays, no `pltpu.roll`, no fold matmuls.  For
+bf16 values the x-factor is lifted to the wide layout by one 0/1 MXU
+matmul per point and the y-factor by a tile-repeat (x-major texel layout),
+so the wide VPU work is ~3 ops per point; f32 values use an exact all-VPU
+build.
+
+ALL levels run inside ONE `pallas_call` (one grid cell does every level's
+work for its query tile): with per-level calls the per-cell fixed overhead
+across the 4-level pyramid dominated (~40% of kernel wall time at UNet
+shapes).
 
 `relu(1 - |x - xs|)` IS the bilinear hat function: at the two straddling
 texels it evaluates to (1-lx, lx), elsewhere 0; out-of-grid texels get
@@ -27,12 +34,14 @@ six CUDA scatter/reduce variants (ms_deform_im2col_cuda.cuh:305-925):
 
     dA      = dOut @ V^T
     dV     += A^T @ dOut        (accumulated across query tiles through
-                                 the sequential TPU grid - no atomics)
+                                 the sequential TPU grid — no atomics)
     d_aw_p  = sum_f (wx wy) . dA
     d_xs_p  = aw_p sum_f sign(x - xs_p) [wx>0] wy . dA   (same for y)
 
-Both directions are launched once per level; XLA sums the per-level
-partial outputs ([B, H, Qp, D] adds - noise).
+It is split into a grad_value kernel and a grad_loc/weight kernel so each
+side's VMEM live set fits the 16 MB budget at the (64, 64)-level UNet
+shapes; every matmul runs in natural MXU orientation via host-side
+pre-transposed operands (in-kernel wide transposes measured 8-10x slower).
 """
 
 from __future__ import annotations
@@ -73,12 +82,22 @@ def _dot_precision(dtype):
             if dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
 
-def _build_A(slab, iox, ioy, h, wp, n_points, aw_scale=None):
-    """Bilinear matrix [TQ, H*Wp] from the packed slab.
+def _expansion_matrix(h: int, wp: int) -> jax.Array:
+    """0/1 matrix lifting x-weights to the x-major wide layout:
+    ``E[x, f] = 1  iff  x == f // H`` (so ``wx @ E`` repeats each x-weight
+    H times consecutively). bf16 — exact for 0/1."""
+    hwp = h * wp
+    rows = jax.lax.broadcasted_iota(jnp.int32, (wp, hwp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (wp, hwp), 1)
+    return (cols // h == rows).astype(jnp.bfloat16)
+
+
+def _build_A(slab, iox, ioy, h, wp, n_points):
+    """Exact-f32 bilinear matrix [TQ, H*Wp] from the packed slab.
 
     slab: [TQ, P*3] f32, lanes p*3+{0: xs, 1: ys, 2: aw}
-    iox:  [TQ, H*Wp] f32 - texel x coordinate (f // H)
-    ioy:  [TQ, H]    f32 - texel y coordinate
+    iox:  [TQ, H*Wp] f32 — texel x coordinate (f // H)
+    ioy:  [TQ, H]    f32 — texel y coordinate
     """
     A = None
     for p in range(n_points):
@@ -119,135 +138,141 @@ def _build_A_mxu(slab, e_mat, ioy, h, wp, n_points):
     return A
 
 
-def _kernel_v4(slab_ref, v_ref, *refs, h, w, n_points, head_dim,
-               tile_q, mxu_expand):
-    out_ref = refs[-1]
-    hwp = v_ref.shape[2]
-    wp = hwp // h
-    value_mat = v_ref[0, 0, :, :]  # [HWp, D]
-
+def _level_A(slab_all, lid, level_shapes, n_points, tile_q, e_refs):
+    """Build level `lid`'s A inside a fused kernel body."""
+    h, w = level_shapes[lid]
+    wp = _padded_cols(h, w)[0]
+    P = n_points
+    sl = slab_all[:, lid * P * 3 : (lid + 1) * P * 3]
     ioy = jax.lax.broadcasted_iota(
         jnp.int32, (tile_q, h), 1).astype(jnp.float32)
+    if e_refs is not None:
+        return _build_A_mxu(sl, e_refs[lid][0, 0, :, :], ioy, h, wp, P)
+    hwp = h * wp
+    iox = (jax.lax.broadcasted_iota(jnp.int32, (tile_q, hwp), 1)
+           // h).astype(jnp.float32)
+    return _build_A(sl, iox, ioy, h, wp, P)
 
-    if mxu_expand:
-        e_mat = refs[0][0, 0, :, :]  # [Wp, HWp] 0/1 expansion
-        A = _build_A_mxu(slab_ref[0, 0, :, :], e_mat, ioy, h, wp, n_points)
-    else:
-        iox = (jax.lax.broadcasted_iota(jnp.int32, (tile_q, hwp), 1)
-               // h).astype(jnp.float32)
-        A = _build_A(slab_ref[0, 0, :, :], iox, ioy, h, wp, n_points)
-    out_ref[0, 0, :, :] = jnp.dot(
-        A.astype(value_mat.dtype), value_mat,
-        preferred_element_type=jnp.float32,
-        precision=_dot_precision(value_mat.dtype),
-    )
+
+def _kernel_v4(slab_ref, *refs, level_shapes, n_points, head_dim,
+               tile_q, mxu_expand):
+    """Fused forward: all levels in one grid cell, one A @ V per level."""
+    L = len(level_shapes)
+    value_refs = refs[:L]
+    e_refs = refs[L : 2 * L] if mxu_expand else None
+    out_ref = refs[-1]
+    slab_all = slab_ref[0, 0, :, :]
+
+    acc = None
+    for lid in range(L):
+        value_mat = value_refs[lid][0, 0, :, :]  # [HWp, D]
+        A = _level_A(slab_all, lid, level_shapes, n_points, tile_q, e_refs)
+        contrib = jnp.dot(
+            A.astype(value_mat.dtype), value_mat,
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(value_mat.dtype),
+        )
+        acc = contrib if acc is None else acc + contrib
+    out_ref[0, 0, :, :] = acc
 
 
 def _kernel_v4_bwd_dv(slab_ref, doutt_ref, *refs,
-                      h, w, n_points, head_dim, tile_q, mxu_expand):
-    """grad_value kernel: rebuild A, then one matmul per query tile.
+                      level_shapes, n_points, head_dim, tile_q, mxu_expand):
+    """grad_value kernel (fused over levels): rebuild each level's A, then
+    one matmul per level per query tile.
 
-    All matmuls stay in natural MXU orientation — the host supplies dOut
-    pre-transposed ([D, TQ]) and receives dV transposed ([D, HWp]);
-    in-kernel transposes of wide arrays cost 8-10x (measured).
     dV^T accumulates across query tiles through the sequential grid
     (t innermost) — the TPU replacement for the reference's atomicAdd
-    scatter.  Split from the dslab kernel so each side's VMEM live set
-    fits the 16 MB budget at the (64, 64)-level UNet shapes."""
-    dvt_ref = refs[-1]
-    hwp = dvt_ref.shape[3]
-    wp = hwp // h
+    scatter."""
+    L = len(level_shapes)
+    e_refs = refs[:L] if mxu_expand else None
+    dvt_refs = refs[-L:]
     t_id = pl.program_id(2)
-    slab = slab_ref[0, 0, :, :]
-
-    ioy = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_q, h), 1).astype(jnp.float32)
-
+    slab_all = slab_ref[0, 0, :, :]
     doutt = doutt_ref[0, 0, :, :]  # [D, TQ]
     cdt = doutt.dtype
-    if mxu_expand:
-        e_mat = refs[0][0, 0, :, :]
-        A = _build_A_mxu(slab, e_mat, ioy, h, wp, n_points)
-    else:
+    prec = _dot_precision(cdt)
+
+    for lid in range(L):
+        A = _level_A(slab_all, lid, level_shapes, n_points, tile_q, e_refs)
+        # dV^T += dOut^T @ A : [D, TQ] @ [TQ, HWp]
+        dvt = jax.lax.dot_general(
+            doutt, A.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        ref = dvt_refs[lid]
+
+        @pl.when(t_id == 0)
+        def _init(ref=ref, dvt=dvt):
+            ref[0, 0, :, :] = dvt
+
+        @pl.when(t_id > 0)
+        def _accum(ref=ref, dvt=dvt):
+            ref[0, 0, :, :] += dvt
+
+
+def _kernel_v4_bwd_dslab(slab_ref, dout_ref, *refs,
+                         level_shapes, n_points, head_dim, tile_q):
+    """grad_{sampling_locations, attention_weights} kernel (fused over
+    levels): per level dA = dOut V'^T once, then per-point hat-derivative
+    contractions."""
+    L = len(level_shapes)
+    P = n_points
+    vt_refs = refs[:L]
+    dslab_ref = refs[-1]
+    slab_all = slab_ref[0, 0, :, :]
+    d_out = dout_ref[0, 0, :, :]  # [TQ, D]
+
+    for lid in range(L):
+        h, w = level_shapes[lid]
+        wp = _padded_cols(h, w)[0]
+        hwp = h * wp
+        vt = vt_refs[lid][0, 0, :, :]  # [D, HWp]
+        cdt = vt.dtype
+        slab = slab_all[:, lid * P * 3 : (lid + 1) * P * 3]
+
         iox = (jax.lax.broadcasted_iota(jnp.int32, (tile_q, hwp), 1)
                // h).astype(jnp.float32)
-        A = _build_A(slab, iox, ioy, h, wp, n_points)
-    # dV^T += dOut^T @ A : [D, TQ] @ [TQ, HWp]
-    dvt = jax.lax.dot_general(
-        doutt, A.astype(cdt), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_dot_precision(cdt),
-    )
+        ioy = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_q, h), 1).astype(jnp.float32)
 
-    @pl.when(t_id == 0)
-    def _init():
-        dvt_ref[0, 0, :, :] = dvt
-
-    @pl.when(t_id > 0)
-    def _accum():
-        dvt_ref[0, 0, :, :] += dvt
-
-
-def _kernel_v4_bwd_dslab(slab_ref, vt_ref, dout_ref, dslab_ref, *,
-                         h, w, n_points, head_dim, tile_q):
-    """grad_{sampling_locations, attention_weights} kernel: dA = dOut V'^T
-    once, then per-point hat-derivative contractions."""
-    hwp = vt_ref.shape[3]
-    wp = hwp // h
-    vt = vt_ref[0, 0, :, :]  # [D, HWp]
-    slab = slab_ref[0, 0, :, :]
-
-    iox = (jax.lax.broadcasted_iota(jnp.int32, (tile_q, hwp), 1)
-           // h).astype(jnp.float32)
-    ioy = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_q, h), 1).astype(jnp.float32)
-
-    cdt = vt.dtype
-    d_out = dout_ref[0, 0, :, :]  # [TQ, D]
-    # dA = dOut @ V'^T : [TQ, D] @ [D, HWp]
-    dA = jax.lax.dot_general(
-        d_out.astype(cdt), vt,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_dot_precision(cdt),
-    )
-
-    for p in range(n_points):
-        xs = slab[:, 3 * p + 0 : 3 * p + 1]
-        ys = slab[:, 3 * p + 1 : 3 * p + 2]
-        aw = slab[:, 3 * p + 2 : 3 * p + 3]
-        tx = iox - xs  # [TQ, HWp]
-        wx = _hat(tx)
-        wy = _hat(ioy - ys)  # [TQ, H]
-        wyr = pltpu.repeat(wy, wp, 1)
-        daw = jnp.sum(wx * wyr * dA, axis=1, keepdims=True)
-        # d/dxs hat(x - xs) = sign(x - xs) on the open support
-        dwx = jnp.where(jnp.abs(tx) < 1.0, jnp.sign(tx), 0.0)
-        dxs = aw * jnp.sum(dwx * wyr * dA, axis=1, keepdims=True)
-        # y-factor derivative: expand sign term, multiply by wx
-        ty = ioy - ys
-        dwy = jnp.where(jnp.abs(ty) < 1.0, jnp.sign(ty), 0.0)
-        dys = aw * jnp.sum(
-            wx * pltpu.repeat(dwy, wp, 1) * dA, axis=1, keepdims=True
+        # dA = dOut @ V'^T : [TQ, D] @ [D, HWp]
+        dA = jax.lax.dot_general(
+            d_out.astype(cdt), vt,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(cdt),
         )
-        dslab_ref[0, 0, :, 3 * p + 0 : 3 * p + 1] = dxs
-        dslab_ref[0, 0, :, 3 * p + 1 : 3 * p + 2] = dys
-        dslab_ref[0, 0, :, 3 * p + 2 : 3 * p + 3] = daw
 
-
-def _expansion_matrix(h: int, wp: int) -> jax.Array:
-    """0/1 matrix lifting x-weights to the x-major wide layout:
-    ``E[x, f] = 1  iff  x == f // H`` (so ``wx @ E`` repeats each x-weight
-    H times consecutively). bf16 — exact for 0/1."""
-    hwp = h * wp
-    rows = jax.lax.broadcasted_iota(jnp.int32, (wp, hwp), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (wp, hwp), 1)
-    return (cols // h == rows).astype(jnp.bfloat16)
+        for p in range(P):
+            xs = slab[:, 3 * p + 0 : 3 * p + 1]
+            ys = slab[:, 3 * p + 1 : 3 * p + 2]
+            aw = slab[:, 3 * p + 2 : 3 * p + 3]
+            tx = iox - xs  # [TQ, HWp]
+            wx = _hat(tx)
+            wy = _hat(ioy - ys)  # [TQ, H]
+            wyr = pltpu.repeat(wy, wp, 1)
+            daw = jnp.sum(wx * wyr * dA, axis=1, keepdims=True)
+            # d/dxs hat(x - xs) = sign(x - xs) on the open support
+            dwx = jnp.where(jnp.abs(tx) < 1.0, jnp.sign(tx), 0.0)
+            dxs = aw * jnp.sum(dwx * wyr * dA, axis=1, keepdims=True)
+            # y-factor derivative: expand sign term, multiply by wx
+            ty = ioy - ys
+            dwy = jnp.where(jnp.abs(ty) < 1.0, jnp.sign(ty), 0.0)
+            dys = aw * jnp.sum(
+                wx * pltpu.repeat(dwy, wp, 1) * dA, axis=1, keepdims=True
+            )
+            base = lid * P * 3 + 3 * p
+            dslab_ref[0, 0, :, base + 0 : base + 1] = dxs
+            dslab_ref[0, 0, :, base + 1 : base + 2] = dys
+            dslab_ref[0, 0, :, base + 2 : base + 3] = daw
 
 
 def _host_prep(value, level_shapes, sampling_locations, attention_weights,
                tile_q):
-    """Per-level packed slabs [B, H, Qp, P*3] + value slabs [B, H, HWp, D]."""
+    """Fused packed slab [B, H, Qp, L*P*3] + per-level x-major value slabs
+    [B, H, HWp_l, D]."""
     B, S, H, D = value.shape
     Q = sampling_locations.shape[1]
     P = sampling_locations.shape[4]
@@ -263,13 +288,13 @@ def _host_prep(value, level_shapes, sampling_locations, attention_weights,
     Qp = Q + q_pad
 
     val = value.transpose(0, 2, 1, 3)  # [B, H, S, D]
-    slabs, level_vals, start = [], [], 0
+    slab_parts, level_vals, start = [], [], 0
     for lid, (h_l, w_l) in enumerate(level_shapes):
         xs = loc[:, :, :, lid, :, 0] * w_l - 0.5  # [B, H, Qp, P]
         ys = loc[:, :, :, lid, :, 1] * h_l - 0.5
         aw = wts[:, :, :, lid, :]
         slab = jnp.stack([xs, ys, aw], axis=-1)  # [B, H, Qp, P, 3]
-        slabs.append(slab.reshape(B, H, Qp, P * 3))
+        slab_parts.append(slab.reshape(B, H, Qp, P * 3))
 
         wp, hwp = _padded_cols(h_l, w_l)
         v = jax.lax.slice_in_dim(val, start, start + h_l * w_l, axis=2)
@@ -279,7 +304,32 @@ def _host_prep(value, level_shapes, sampling_locations, attention_weights,
             v = jnp.pad(v, ((0, 0), (0, 0), (0, wp - w_l), (0, 0), (0, 0)))
         level_vals.append(v.reshape(B, H, hwp, D))
         start += h_l * w_l
-    return slabs, level_vals, Qp
+    slab_all = jnp.concatenate(slab_parts, axis=-1)  # [B, H, Qp, L*P*3]
+    return slab_all, level_vals, Qp
+
+
+def _slab_spec(tile_q, lanes):
+    return pl.BlockSpec(
+        (1, 1, tile_q, lanes),
+        lambda b, hh, t: (b, hh, t, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _stationary_spec(s2, s3):
+    return pl.BlockSpec(
+        (1, 1, s2, s3),
+        lambda b, hh, t: (b, hh, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _const_spec(s2, s3):
+    return pl.BlockSpec(
+        (1, 1, s2, s3),
+        lambda b, hh, t: (0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
 
 
 @functools.partial(
@@ -297,10 +347,11 @@ def ms_deform_attn_pallas_v4(
     [B, Q, H*D] in value's dtype."""
     B, S, H, D = value.shape
     Q = sampling_locations.shape[1]
+    L = len(level_shapes)
     P = sampling_locations.shape[4]
     assert sum(h * w for h, w in level_shapes) == S
 
-    slabs, level_vals, Qp = _host_prep(
+    slab_all, level_vals, Qp = _host_prep(
         value, level_shapes, sampling_locations, attention_weights, tile_q
     )
     n_tiles = Qp // tile_q
@@ -308,47 +359,27 @@ def ms_deform_attn_pallas_v4(
     # build when the value (and hence the A matmul) is f32
     mxu_expand = value.dtype == jnp.bfloat16
 
-    acc = None
-    for lid, ((h_l, w_l), slab, v) in enumerate(
-        zip(level_shapes, slabs, level_vals)
-    ):
-        hwp = v.shape[2]
-        extra, extra_specs = [], []
-        if mxu_expand:
-            extra = [_expansion_matrix(h_l, hwp // h_l)[None, None]]
-            extra_specs = [pl.BlockSpec(
-                (1, 1, hwp // h_l, hwp),
-                lambda b, hh, t: (0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )]
-        out = pl.pallas_call(
-            functools.partial(
-                _kernel_v4, h=h_l, w=w_l, n_points=P, head_dim=D,
-                tile_q=tile_q, mxu_expand=mxu_expand,
-            ),
-            grid=(B, H, n_tiles),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, tile_q, P * 3),
-                    lambda b, hh, t: (b, hh, t, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, hwp, D),
-                    lambda b, hh, t: (b, hh, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ] + extra_specs,
-            out_specs=pl.BlockSpec(
-                (1, 1, tile_q, D),
-                lambda b, hh, t: (b, hh, t, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), jnp.float32),
-            interpret=interpret,
-        )(slab, v, *extra)
-        acc = out if acc is None else acc + out
-    out = acc[:, :, :Q].transpose(0, 2, 1, 3)
+    extra, extra_specs = [], []
+    if mxu_expand:
+        for (h_l, w_l) in level_shapes:
+            wp, hwp = _padded_cols(h_l, w_l)
+            extra.append(_expansion_matrix(h_l, wp)[None, None])
+            extra_specs.append(_const_spec(wp, hwp))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_v4, level_shapes=tuple(level_shapes), n_points=P,
+            head_dim=D, tile_q=tile_q, mxu_expand=mxu_expand,
+        ),
+        grid=(B, H, n_tiles),
+        in_specs=[_slab_spec(tile_q, L * P * 3)] + [
+            _stationary_spec(v.shape[2], D) for v in level_vals
+        ] + extra_specs,
+        out_specs=_slab_spec(tile_q, D),
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), jnp.float32),
+        interpret=interpret,
+    )(slab_all, *level_vals, *extra)
+    out = out[:, :, :Q].transpose(0, 2, 1, 3)
     return out.reshape(B, Q, H * D).astype(value.dtype)
 
 
@@ -361,8 +392,9 @@ def _ms_deform_attn_pallas_v4_bwd(
 ):
     B, S, H, D = value.shape
     Q = sampling_locations.shape[1]
+    L = len(level_shapes)
     P = sampling_locations.shape[4]
-    slabs, level_vals, Qp = _host_prep(
+    slab_all, level_vals, Qp = _host_prep(
         value, level_shapes, sampling_locations, attention_weights, tile_q
     )
     n_tiles = Qp // tile_q
@@ -374,91 +406,67 @@ def _ms_deform_attn_pallas_v4_bwd(
     # its exact single-pass path; accumulation stays f32)
     doutt = dout.transpose(0, 1, 3, 2).astype(value.dtype)
 
-    slab_spec = pl.BlockSpec(
-        (1, 1, tile_q, P * 3),
-        lambda b, hh, t: (b, hh, t, 0),
-        memory_space=pltpu.VMEM,
-    )
-
     mxu_expand = value.dtype == jnp.bfloat16
+    extra, extra_specs = [], []
+    if mxu_expand:
+        for (h_l, w_l) in level_shapes:
+            wp, hwp = _padded_cols(h_l, w_l)
+            extra.append(_expansion_matrix(h_l, wp)[None, None])
+            extra_specs.append(_const_spec(wp, hwp))
 
-    dv_parts, dslab_parts = [], []
-    for lid, ((h_l, w_l), slab, v) in enumerate(
-        zip(level_shapes, slabs, level_vals)
-    ):
-        hwp = v.shape[2]
-        wp = hwp // h_l
-        vt = v.transpose(0, 1, 3, 2)  # [B, H, D, HWp] (host relayout)
-        extra, extra_specs = [], []
-        if mxu_expand:
-            extra = [_expansion_matrix(h_l, wp)[None, None]]
-            extra_specs = [pl.BlockSpec(
-                (1, 1, wp, hwp),
-                lambda b, hh, t: (0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )]
-
-        dvt = pl.pallas_call(
-            functools.partial(
-                _kernel_v4_bwd_dv, h=h_l, w=w_l, n_points=P, head_dim=D,
-                tile_q=tile_q, mxu_expand=mxu_expand,
-            ),
-            grid=(B, H, n_tiles),
-            in_specs=[
-                slab_spec,
-                pl.BlockSpec(
-                    (1, 1, D, tile_q),
-                    lambda b, hh, t: (b, hh, 0, t),
-                    memory_space=pltpu.VMEM,
-                ),
-            ] + extra_specs,
-            out_specs=pl.BlockSpec(
-                (1, 1, D, hwp),
-                lambda b, hh, t: (b, hh, 0, 0),
+    # ---- grad_value -------------------------------------------------- #
+    dvt_list = pl.pallas_call(
+        functools.partial(
+            _kernel_v4_bwd_dv, level_shapes=tuple(level_shapes),
+            n_points=P, head_dim=D, tile_q=tile_q, mxu_expand=mxu_expand,
+        ),
+        grid=(B, H, n_tiles),
+        in_specs=[
+            _slab_spec(tile_q, L * P * 3),
+            pl.BlockSpec(
+                (1, 1, D, tile_q),
+                lambda b, hh, t: (b, hh, 0, t),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((B, H, D, hwp), jnp.float32),
-            interpret=interpret,
-        )(slab, doutt, *extra)
+        ] + extra_specs,
+        out_specs=[
+            _stationary_spec(D, v.shape[2]) for v in level_vals
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, D, v.shape[2]), jnp.float32)
+            for v in level_vals
+        ],
+        interpret=interpret,
+    )(slab_all, doutt, *extra)
 
-        dslab = pl.pallas_call(
-            functools.partial(
-                _kernel_v4_bwd_dslab, h=h_l, w=w_l, n_points=P,
-                head_dim=D, tile_q=tile_q,
-            ),
-            grid=(B, H, n_tiles),
-            in_specs=[
-                slab_spec,
-                pl.BlockSpec(
-                    (1, 1, D, hwp),
-                    lambda b, hh, t: (b, hh, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, tile_q, D),
-                    lambda b, hh, t: (b, hh, t, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 1, tile_q, P * 3),
-                lambda b, hh, t: (b, hh, t, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((B, H, Qp, P * 3), jnp.float32),
-            interpret=interpret,
-        )(slab, vt, dout)
+    # ---- grad_{loc, weights} ----------------------------------------- #
+    vts = [v.transpose(0, 1, 3, 2) for v in level_vals]  # [B, H, D, HWp]
+    dslab = pl.pallas_call(
+        functools.partial(
+            _kernel_v4_bwd_dslab, level_shapes=tuple(level_shapes),
+            n_points=P, head_dim=D, tile_q=tile_q,
+        ),
+        grid=(B, H, n_tiles),
+        in_specs=[
+            _slab_spec(tile_q, L * P * 3),
+            _slab_spec(tile_q, D),
+        ] + [_stationary_spec(D, v.shape[2]) for v in level_vals],
+        out_specs=_slab_spec(tile_q, L * P * 3),
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, L * P * 3), jnp.float32),
+        interpret=interpret,
+    )(slab_all, dout, *vts)
 
-        # [D, H*Wp] x-major -> row-major [HW, D]
+    # d_value: per-level [D, H*Wp] x-major -> row-major [HW, D]
+    dv_parts = []
+    for (h_l, w_l), dvt in zip(level_shapes, dvt_list):
+        wp = dvt.shape[3] // h_l
         dv = dvt.reshape(B, H, D, wp, h_l)[:, :, :, :w_l]
         dv = dv.transpose(0, 1, 4, 3, 2).reshape(B, H, h_l * w_l, D)
         dv_parts.append(dv)
-        dslab_parts.append(dslab.reshape(B, H, Qp, P, 3))
-
     d_value = jnp.concatenate(dv_parts, axis=2).transpose(0, 2, 1, 3)
     d_value = d_value.astype(value.dtype)
 
-    ds = jnp.stack(dslab_parts, axis=3)  # [B, H, Qp, L, P, 3]
+    ds = dslab.reshape(B, H, Qp, L, P, 3)
     ds = ds[:, :, :Q].transpose(0, 2, 1, 3, 4, 5)  # [B, Q, H, L, P, 3]
     d_aw = ds[..., 2].astype(attention_weights.dtype)
     # xs = loc_x * W - 0.5  =>  d loc_x = d_xs * W (same for y)
