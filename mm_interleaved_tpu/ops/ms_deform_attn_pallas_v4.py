@@ -216,7 +216,14 @@ def _kernel_v4_bwd_dslab(slab_ref, dout_ref, *refs,
                          level_shapes, n_points, head_dim, tile_q):
     """grad_{sampling_locations, attention_weights} kernel (fused over
     levels): per level dA = dOut V'^T once, then per-point hat-derivative
-    contractions."""
+    contractions.
+
+    Every per-point gradient is a separable contraction: both hat factors
+    and their sign-derivatives depend on only one texel axis, so
+    ``sum_f (a_small(x) expand) . g = row-dot(a_small, g @ E^T)`` — the
+    wide reductions become two per-point matmuls onto narrow [TQ, Wp] /
+    [TQ, H] arrays and a narrow lane-sum, instead of three full-width
+    lane-reductions (the measured dslab bottleneck)."""
     L = len(level_shapes)
     P = n_points
     vt_refs = refs[:L]
@@ -232,37 +239,61 @@ def _kernel_v4_bwd_dslab(slab_ref, dout_ref, *refs,
         cdt = vt.dtype
         slab = slab_all[:, lid * P * 3 : (lid + 1) * P * 3]
 
-        iox = (jax.lax.broadcasted_iota(jnp.int32, (tile_q, hwp), 1)
-               // h).astype(jnp.float32)
+        iox_s = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_q, wp), 1).astype(jnp.float32)
         ioy = jax.lax.broadcasted_iota(
             jnp.int32, (tile_q, h), 1).astype(jnp.float32)
+        # fold/expansion 0/1 matrices, built once per level via iota:
+        #   E [Wp, HWp]: E[x, f] = (x == f // H)   (x-expansion)
+        #   E^T [HWp, Wp]                          (fold over y)
+        #   Ty [HWp, H]: Ty[f, y] = (y == f % H)   (fold over x)
+        e_rows = jax.lax.broadcasted_iota(jnp.int32, (wp, hwp), 0)
+        e_cols = jax.lax.broadcasted_iota(jnp.int32, (wp, hwp), 1)
+        E = (e_cols // h == e_rows).astype(cdt)
+        f_rows = jax.lax.broadcasted_iota(jnp.int32, (hwp, wp), 0)
+        x_cols = jax.lax.broadcasted_iota(jnp.int32, (hwp, wp), 1)
+        Et = (f_rows // h == x_cols).astype(cdt)
+        fy_rows = jax.lax.broadcasted_iota(jnp.int32, (hwp, h), 0)
+        y_cols = jax.lax.broadcasted_iota(jnp.int32, (hwp, h), 1)
+        Ty = (fy_rows % h == y_cols).astype(cdt)
 
         # dA = dOut @ V'^T : [TQ, D] @ [D, HWp]
+        prec = _dot_precision(cdt)
         dA = jax.lax.dot_general(
             d_out.astype(cdt), vt,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(cdt),
+            precision=prec,
         )
 
         for p in range(P):
             xs = slab[:, 3 * p + 0 : 3 * p + 1]
             ys = slab[:, 3 * p + 1 : 3 * p + 2]
             aw = slab[:, 3 * p + 2 : 3 * p + 3]
-            tx = iox - xs  # [TQ, HWp]
-            wx = _hat(tx)
-            wy = _hat(ioy - ys)  # [TQ, H]
-            wyr = pltpu.repeat(wy, wp, 1)
-            daw = jnp.sum(wx * wyr * dA, axis=1, keepdims=True)
-            # d/dxs hat(x - xs) = sign(x - xs) on the open support
-            dwx = jnp.where(jnp.abs(tx) < 1.0, jnp.sign(tx), 0.0)
-            dxs = aw * jnp.sum(dwx * wyr * dA, axis=1, keepdims=True)
-            # y-factor derivative: expand sign term, multiply by wx
-            ty = ioy - ys
-            dwy = jnp.where(jnp.abs(ty) < 1.0, jnp.sign(ty), 0.0)
-            dys = aw * jnp.sum(
-                wx * pltpu.repeat(dwy, wp, 1) * dA, axis=1, keepdims=True
-            )
+            txs = iox_s - xs  # [TQ, Wp] narrow
+            wx = _hat(txs)
+            tys = ioy - ys  # [TQ, H] narrow
+            wy = _hat(tys)
+
+            # x-side grads: fold (wy expand).dA over y -> [TQ, Wp]
+            g = pltpu.repeat(wy, wp, 1) * dA  # wide mul
+            gE = jnp.dot(g.astype(cdt), Et,
+                         preferred_element_type=jnp.float32,
+                         precision=prec)  # [TQ, Wp]
+            daw = jnp.sum(wx * gE, axis=1, keepdims=True)
+            dwx = jnp.where(jnp.abs(txs) < 1.0, jnp.sign(txs), 0.0)
+            dxs = aw * jnp.sum(dwx * gE, axis=1, keepdims=True)
+
+            # y-side grad: fold (wx expand).dA over x -> [TQ, H]
+            wxe = jnp.dot(wx.astype(cdt), E,
+                          preferred_element_type=jnp.float32,
+                          precision=prec)  # [TQ, HWp]
+            hT = jnp.dot((wxe * dA).astype(cdt), Ty,
+                         preferred_element_type=jnp.float32,
+                         precision=prec)  # [TQ, H]
+            dwy = jnp.where(jnp.abs(tys) < 1.0, jnp.sign(tys), 0.0)
+            dys = aw * jnp.sum(dwy * hT, axis=1, keepdims=True)
+
             base = lid * P * 3 + 3 * p
             dslab_ref[0, 0, :, base + 0 : base + 1] = dxs
             dslab_ref[0, 0, :, base + 1 : base + 2] = dys
@@ -441,17 +472,22 @@ def _ms_deform_attn_pallas_v4_bwd(
 
     # ---- grad_{loc, weights} ----------------------------------------- #
     vts = [v.transpose(0, 1, 3, 2) for v in level_vals]  # [B, H, D, HWp]
+    # the dslab kernel keeps dA + two wide products + three fold matrices
+    # live per level — halve its tile at wide pyramids to stay inside VMEM
+    # (Qp is a tile_q multiple, so any divisor of tile_q keeps the grid even)
+    hwp_max = max(v.shape[2] for v in level_vals)
+    tq2 = tile_q if hwp_max <= 2048 else max(32, tile_q // 2)
     dslab = pl.pallas_call(
         functools.partial(
             _kernel_v4_bwd_dslab, level_shapes=tuple(level_shapes),
-            n_points=P, head_dim=D, tile_q=tile_q,
+            n_points=P, head_dim=D, tile_q=tq2,
         ),
-        grid=(B, H, n_tiles),
+        grid=(B, H, Qp // tq2),
         in_specs=[
-            _slab_spec(tile_q, L * P * 3),
-            _slab_spec(tile_q, D),
+            _slab_spec(tq2, L * P * 3),
+            _slab_spec(tq2, D),
         ] + [_stationary_spec(D, v.shape[2]) for v in level_vals],
-        out_specs=_slab_spec(tile_q, L * P * 3),
+        out_specs=_slab_spec(tq2, L * P * 3),
         out_shape=jax.ShapeDtypeStruct((B, H, Qp, L * P * 3), jnp.float32),
         interpret=interpret,
     )(slab_all, dout, *vts)
