@@ -179,8 +179,11 @@ def _pallas_eligible(Lq: int) -> bool:
         return False
     if os.environ.get("MMI_DISABLE_PALLAS_DEFORM"):
         return False
+    # >= 64: the v4 kernel beats the XLA dense one-hot ~2x even at the
+    # smallest UNet MMFS blocks (Q=64, half-tile padding included); only
+    # the decode regime (Lq <= SMALL_Q_THRESHOLD) stays on the dense path
     return (
-        jax.default_backend() in ("tpu", "axon") and Lq >= 256
+        jax.default_backend() in ("tpu", "axon") and Lq >= 64
     )
 
 

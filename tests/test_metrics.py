@@ -106,3 +106,30 @@ def test_vqa_normalisation_matches_official_scorer():
             s.replace("\n", " ").replace("\t", " ").strip()
         ))
         assert ours == ref, (s, ours, ref)
+
+
+def test_bleu_golden_hand_computed():
+    """Hand-derived corpus values pin the exact BLEU formula: clipping,
+    closest-reference length selection and the brevity penalty.
+
+    Corpus 1: one perfect candidate + one 4/8-length candidate whose
+    n-gram precisions are all 1 -> BLEU = BP = exp(1 - 14/10).
+    Corpus 2 (max_n=2): "the the the the" vs "the the" -> p1 = 2/4
+    (clipped), p2 = 1/3, BP = 1 (candidate longer) -> sqrt(1/6)."""
+    b = bleu(
+        ["a b c d e f", "a b c d"],
+        [["a b c d e f"], ["a b c d e f g h"]],
+    )
+    np.testing.assert_allclose(b, np.exp(1 - 14 / 10), rtol=1e-12)
+
+    b2 = bleu(["the the the the"], [["the the"]], max_n=2)
+    np.testing.assert_allclose(b2, (0.5 * (1 / 3)) ** 0.5, rtol=1e-12)
+
+
+def test_cider_d_golden_hand_computed():
+    """Two disjoint two-token items: every 1/2-gram has idf = log 2 and
+    candidate == reference, so sim_1 = sim_2 = 1 and the empty 3/4-gram
+    vectors contribute 0 -> score = 10 * mean([1, 1, 0, 0]) = 5.0 (the
+    same empty-vector convention as pycocoevalcap's ciderD_scorer)."""
+    c = cider_d(["a b", "c d"], [["a b"], ["c d"]])
+    np.testing.assert_allclose(c, 5.0, rtol=1e-9)
