@@ -149,6 +149,8 @@ def test_training_mode_dispatch():
     with M.pallas_deform_training():
         assert M._PALLAS_TRAINING_MODE
         assert M._pallas_eligible(512) or jax.default_backend() == "cpu"
+        # the decode regime must stay on the dense one-hot XLA path
+        assert not M._pallas_eligible(M.SMALL_Q_THRESHOLD)
     assert not M._PALLAS_TRAINING_MODE
 
 
