@@ -67,11 +67,24 @@ def generate_images(
     cfg = model.cfg.image_decoder if hasattr(model.cfg, "image_decoder") else (
         model.cfg
     )
+    with pallas_deform_inference():
+        latents = _denoise(
+            model, variables, decoder, cfg, context_features,
+            context_attention_mask, rng, mmfs_values, mmfs_mask,
+            num_inference_steps, guidance_scale, sampler,
+        )
+    return model.apply(
+        variables, latents, method=lambda m, z: decoder(m).vae_decode(z)
+    )
+
+
+def _denoise(
+    model, variables, decoder, cfg, context_features,
+    context_attention_mask, rng, mmfs_values, mmfs_mask,
+    num_inference_steps, guidance_scale, sampler,
+):
     sched = cfg.schedule
     B = context_features.shape[0]
-    _pallas_ctx = pallas_deform_inference()
-    _pallas_ctx.__enter__()
-
     ctx, neg = model.apply(
         variables,
         context_features,
@@ -99,6 +112,14 @@ def generate_images(
         (B, cfg.latent_size, cfg.latent_size, cfg.vae.latent_channels),
         jnp.float32,
     )
+    # sharded generation: batch over the data axes (CFG doubles B, so the
+    # constraint is applied to the pre-duplication tensors)
+    from ..parallel.inference import constrain
+
+    latents = constrain(latents, ("data", "fsdp"))
+    ctx_in = constrain(ctx_in, ("data", "fsdp"))
+    if mmfs_in is not None:
+        mmfs_in = constrain(mmfs_in, ("data", "fsdp"))
 
     ts = sched.inference_timesteps(num_inference_steps)
     ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], ts.dtype)])
@@ -161,8 +182,4 @@ def generate_images(
         return latents, None
 
     latents, _ = jax.lax.scan(step, latents, (ts, ts_prev, step_rngs))
-    _pallas_ctx.__exit__()
-
-    return model.apply(
-        variables, latents, method=lambda m, z: decoder(m).vae_decode(z)
-    )
+    return latents

@@ -12,7 +12,19 @@ Differences from the reference (behaviour-preserving, shape-friendly for XLA):
   * the softmax over ``n_img*n_levels*(n_points+1)`` slots — including the
     learned "ignore" slot pinned at logit ``-log(n_img*n_levels)``
     (reference mmfs.py:225) and the ``-10000`` masking of invalid images
-    (mmfs.py:203-223) — is reproduced exactly.
+    (mmfs.py:203-223) — is reproduced exactly;
+  * **linear decomposition over the relpos embedding** (round 3): the
+    reference materialises ``q_img = q[:, None] + relpos_emb[r]`` as a
+    ``[B, n_img, Lq, d_query]`` tensor and runs the offsets/attention
+    projections on it (mmfs.py:175-193).  Both projections are linear, so
+    ``W(q + e[r]) = W q + (W e)[r]`` — we project the (tiny) relpos table
+    once and gather, cutting the projection FLOPs and every wide
+    intermediate by the ``n_img`` factor.  The softmax factorises the same
+    way: ``softmax`` weights become ``Eq[l,p] * Et[r][l,p] / Z`` with
+    ``Eq = exp(logit_q - m_q)``, ``Et = exp(logit_tab - m_t)`` and a
+    closed-form ignore-slot mass (the ignore logit is the constant
+    ``-log(n_img*n_levels)``), so no ``[B, Lq, H, n_img, L, P+1]`` softmax
+    is ever materialised.
 
 Note the reference's conditional write of 1.0 into the ignore logit for
 all-masked queries (mmfs.py:212,223) is dead code: line 225 unconditionally
@@ -39,6 +51,16 @@ def _offset_bias_init(magnitude: float):
         )
 
     return init
+
+
+def image_relpos_from_mask(mask: jax.Array, max_images: int) -> jax.Array:
+    """Per-(query,) image relative-position index (reference mmfs.py:154-163):
+    the most recent valid image gets the highest index, counting down;
+    invalid images get 0.  ``mask`` is int [..., n_img]."""
+    num_tot = mask.sum(axis=-1, keepdims=True)
+    num_prev = jnp.cumsum(mask, axis=-1)
+    relpos = (num_tot + 1 - num_prev) * mask
+    return jnp.clip(relpos, 0, max_images - 1)
 
 
 class MMFS(nn.Module):
@@ -84,22 +106,14 @@ class MMFS(nn.Module):
                  else projected_value).shape[1]
         nlevels = n_img * n_levels
         P = self.n_points
+        H = self.n_heads
+        R = self.max_num_image_per_seq
 
-        if attention_mask.ndim == 2:
-            mask3 = jnp.broadcast_to(
-                attention_mask[:, None, :], (B, Lq, n_img)
-            )
-        else:
-            mask3 = attention_mask
-        mask3 = mask3.astype(jnp.int32)
-
-        # --- per-(query, image) relative position index (mmfs.py:154-163):
-        # the most recent valid image (w.r.t. the query) gets index total,
-        # counting down; invalid images get 0.
-        image_num_tot = mask3.sum(axis=-1, keepdims=True)
-        image_num_prev = jnp.cumsum(mask3, axis=-1)
-        image_relpos = (image_num_tot + 1 - image_num_prev) * mask3
-        image_relpos = jnp.clip(image_relpos, 0, self.max_num_image_per_seq - 1)
+        # mask per image, optionally per query (LLM branch)
+        per_query_mask = attention_mask.ndim == 3
+        mask = attention_mask.astype(jnp.int32)
+        # relpos: [B, n_img] (UNet branch) or [B, Lq, n_img] (LLM branch)
+        image_relpos = image_relpos_from_mask(mask, R)
 
         # --- value projection (skipped when the prefill already computed it)
         if projected_value is None:
@@ -113,86 +127,112 @@ class MMFS(nn.Module):
         else:
             value = projected_value
         value = value.reshape(
-            B, n_img, -1, self.n_heads, d_val_proj // self.n_heads
+            B, n_img, -1, H, d_val_proj // H
         )
 
-        # --- per-image query conditioning
+        # --- per-image query conditioning, linearly decomposed
         q = nn.Dense(d_query, dtype=self.dtype, name="dynamic_offset_mask")(
             query
         )  # [B, Lq, d_query]
         relpos_table = nn.Embed(
-            self.max_num_image_per_seq,
+            R,
             d_query,
             embedding_init=nn.initializers.truncated_normal(stddev=0.02),
             dtype=self.dtype,
             name="query_relpos",
         )
-        q_img = q[:, None, :, :] + rearrange(
-            relpos_table(image_relpos), "b q n d -> b n q d"
-        )  # [B, n_img, Lq, d_query]
+        emb_mat = relpos_table(jnp.arange(R, dtype=jnp.int32))  # [R, d_query]
+        # bias-free projection of the relpos table: Dense(x) - Dense(0) == xW
+        zero_row = jnp.zeros((1, d_query), emb_mat.dtype)
 
         # --- sampling offsets: zero weight, uniform bias (mmfs.py:102-110)
-        offsets = nn.Dense(
-            self.n_heads * P * 2,
+        off_dense = nn.Dense(
+            H * P * 2,
             dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=_offset_bias_init(self.offset_init_magnitude),
             name="sampling_offsets",
-        )(q_img)
-        offsets = offsets.reshape(B, n_img, Lq, self.n_heads, 1, P, 2)
-        offsets = rearrange(offsets, "b n q h l p t -> b q h n l p t")
+        )
+        off_q = off_dense(q)  # [B, Lq, H*P*2] (bias included)
+        off_tab = off_dense(emb_mat) - off_dense(zero_row)  # [R, H*P*2]
 
-        # broadcast the single offset set across levels, scaled per level by
-        # (level_size / base_spatial_shape) then normalised by (W_l, H_l)
-        # (mmfs.py:193-198, 243-250).
-        scale = jnp.asarray(
+        attn_dense = nn.Dense(
+            H * n_levels * (P + 1),
+            dtype=self.dtype,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )
+        logit_q = attn_dense(q)  # [B, Lq, H*L*(P+1)]
+        logit_tab = attn_dense(emb_mat) - attn_dense(zero_row)
+
+        # --- factorised softmax over (n_img, L, P) + closed-form ignore slot.
+        # Point slot (n,l,p) logit = lq[l,p] + lt[r_n][l,p] (+ -10000 invalid,
+        # realised as a hard 0 factor: exp(-10000) == 0 in fp32); ignore slots
+        # are the constant -log(nlevels), total unnormalised mass
+        # n_img*L*exp(-log(n_img*L)) = 1 (reference mmfs.py:225-241).
+        lq = logit_q.reshape(B, Lq, H, n_levels, P + 1)[..., :P]
+        lq = lq.astype(jnp.float32)
+        lt = logit_tab.reshape(R, H, n_levels, P + 1)[..., :P]
+        lt = lt.astype(jnp.float32)
+        m_q = lq.max(axis=(-2, -1))  # [B, Lq, H]
+        m_t = lt.max(axis=(0, -2, -1))  # [H]
+        Eq = jnp.exp(lq - m_q[..., None, None])  # [B, Lq, H, L, P]
+        Et = jnp.exp(lt - m_t[None, :, None, None])  # [R, H, L, P]
+
+        m_sum = m_q + m_t[None, None, :]  # [B, Lq, H]
+        mc = jnp.maximum(m_sum, -80.0)  # overflow guard on the ignore mass
+        point_scale = jnp.exp(m_sum - mc)  # <= 1, == 1 unless clamped
+        # total unnormalised ignore mass: nlevels slots of
+        # exp(-log(nlevels) - mc) each -> exp(-mc)
+        ignore_mass = jnp.exp(-mc)  # [B, Lq, H]
+
+        off_q_r = off_q.astype(jnp.float32).reshape(B, Lq, H, P, 2)
+        off_tab_r = off_tab.astype(jnp.float32).reshape(R, H, P, 2)
+
+        # per-level offset scaling (mmfs.py:193-198, 243-250): a single
+        # offset set broadcast across levels, scaled by
+        # (level_size / base_spatial_shape) / (W_l, H_l)
+        per_level = jnp.asarray(
             [
-                [w / self.base_spatial_shape, h / self.base_spatial_shape]
+                [w / self.base_spatial_shape / w, h / self.base_spatial_shape / h]
                 for (h, w) in self.level_shapes
             ],
             dtype=jnp.float32,
-        )  # [L, 2] in (x, y) order
-        normalizer = jnp.asarray(
-            [[w, h] for (h, w) in self.level_shapes], dtype=jnp.float32
-        )  # [L, 2]
-        per_level = scale / normalizer  # [L, 2]
-        offsets = offsets.astype(jnp.float32) * per_level[
-            None, None, None, None, :, None, :
-        ]  # [B, Lq, H, n_img, L, P, 2]
+        )  # [L, 2] == 1/base per axis, kept per-level for generality
 
         if reference_points is None:
             ref = jnp.full((B, Lq, 2), 0.5, dtype=jnp.float32)
         else:
             ref = reference_points.astype(jnp.float32)
-        sampling_locations = (
-            ref[:, :, None, None, None, None, :] + offsets
-        )  # [B, Lq, H, n_img, L, P, 2]
 
-        # --- attention logits over (n_img, L, P+1) incl. ignore slot
-        attn_logits = nn.Dense(
-            self.n_heads * n_levels * (P + 1),
-            dtype=self.dtype,
-            bias_init=nn.initializers.zeros,
-            name="attention_weights",
-        )(q_img)
-        attn_logits = attn_logits.reshape(
-            B, n_img, Lq, self.n_heads, n_levels, P + 1
-        )
-        attn_logits = rearrange(
-            attn_logits, "b n q h l p -> b q h n l p"
-        ).astype(jnp.float32)
+        factorized = False
+        if per_query_mask:
+            # LLM branch: relpos varies per query -> gather per (b, q, n)
+            Et_g = Et[image_relpos]  # [B, Lq, n_img, H, L, P]
+            Et_g = Et_g * mask[..., None, None, None].astype(jnp.float32)
+            S = jnp.einsum("bqhlp,bqnhlp->bqhn", Eq, Et_g)
+            off_img = off_tab_r[image_relpos]  # [B, Lq, n_img, H, P, 2]
+            off_full = (
+                off_q_r[:, :, None] + off_img
+            )  # [B, Lq, n_img, H, P, 2]
+            Et_b = rearrange(Et_g, "b q n h l p -> b q h n l p")
+            off_b = rearrange(off_full, "b q n h p t -> b q h n p t")
+        else:
+            # UNet branch: relpos is per (b, n) only -> tiny gathers
+            from ..ops.ms_deform_attn import factorized_deform_eligible
 
-        img_bias = (1.0 - mask3.astype(jnp.float32)) * -10000.0
-        attn_logits = attn_logits + img_bias[:, :, None, :, None, None]
-        # ignore slot pinned at -log(nlevels) for every (image, level)
-        attn_logits = attn_logits.at[..., -1].set(-math.log(nlevels))
+            Et_g = Et[image_relpos]  # [B, n_img, H, L, P]
+            Et_g = Et_g * mask[..., None, None, None].astype(jnp.float32)
+            S = jnp.einsum("bqhlp,bnhlp->bqhn", Eq, Et_g)
+            off_img = off_tab_r[image_relpos]  # [B, n_img, H, P, 2]
+            factorized = factorized_deform_eligible(Lq)
+            if not factorized:
+                off_full = off_q_r[:, :, None] + off_img[:, None]
+                Et_b = rearrange(Et_g, "b n h l p -> b () h n l p")
+                off_b = rearrange(off_full, "b q n h p t -> b q h n p t")
 
-        flat = attn_logits.reshape(B, Lq, self.n_heads, nlevels * (P + 1))
-        probs = jax.nn.softmax(flat, axis=-1).reshape(
-            B, Lq, self.n_heads, n_img, n_levels, P + 1
-        )
-        w_points = probs[..., :P]
-        w_ignore = probs[..., P]  # [B, Lq, H, n_img, L]
+        Z = S.sum(axis=-1) * point_scale + ignore_mass  # [B, Lq, H]
+        rZ = point_scale / Z  # point-mass normaliser
 
         # --- ignore-token contribution (zeros at init; kept for parity with
         # loaded weights, mmfs.py:87-89, 233-241)
@@ -202,21 +242,45 @@ class MMFS(nn.Module):
             (d_val_proj,),
             jnp.float32,
         )
-        ignore_heads = ignore_token.reshape(
-            self.n_heads, d_val_proj // self.n_heads
-        )
+        ignore_heads = ignore_token.reshape(H, d_val_proj // H)
+        w_ignore_tot = ignore_mass / Z  # [B, Lq, H]
         ignore_contrib = jnp.einsum(
-            "bqhnl,hd->bqhd", w_ignore, ignore_heads.astype(jnp.float32)
+            "bqh,hd->bqhd", w_ignore_tot, ignore_heads.astype(jnp.float32)
         )
         ignore_contrib = rearrange(ignore_contrib, "b q h d -> b q (h d)")
 
-        out = ms_deform_attn_multi_image(
-            value,
-            self.level_shapes,
-            sampling_locations.astype(value.dtype),
-            # ms_deform_attn_multi_image wants [B, Lq, H, n_img, L, P]
-            w_points.astype(value.dtype),
-        )
+        if factorized:
+            # image axis stays on-chip: the kernel expands the (query,
+            # image)-separable offsets/weights internally
+            from ..ops.ms_deform_attn_pallas_mi import mmfs_deform_factorized
+
+            out = mmfs_deform_factorized(
+                value,
+                tuple(self.level_shapes),
+                ref,
+                off_q_r,
+                off_img,
+                Eq * rZ[..., None, None],
+                Et_g,
+                inv_base=1.0 / self.base_spatial_shape,
+            )
+        else:
+            # wide tensors for the deform core, built by broadcast (fused by
+            # XLA into the core's own input prep)
+            w_points = (
+                Eq[:, :, :, None] * Et_b * rZ[:, :, :, None, None, None]
+            )  # [B, Lq, H, n_img, L, P]
+            sampling_locations = (
+                ref[:, :, None, None, None, None, :]
+                + off_b[:, :, :, :, None, :, :]
+                * per_level[None, None, None, None, :, None, :]
+            )  # [B, Lq, H, n_img, L, P, 2]
+            out = ms_deform_attn_multi_image(
+                value,
+                self.level_shapes,
+                sampling_locations.astype(value.dtype),
+                w_points.astype(value.dtype),
+            )
         out = out + ignore_contrib.astype(out.dtype)
 
         out = nn.Dense(

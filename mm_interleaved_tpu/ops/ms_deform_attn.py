@@ -132,13 +132,11 @@ def _onehot_level(
 # (measured on v5e: decode-shape gather 2.7ms vs <0.3ms dense)
 SMALL_Q_THRESHOLD = 16
 
-# inference-mode Pallas dispatch flag (generation runtimes flip this around
-# their trace; both modes now route to the same differentiable v4 kernel)
-_PALLAS_INFERENCE_MODE = False
-# training-path dispatch: routes to the custom_vjp kernel (Pallas forward +
-# Pallas backward — the TPU analogue of the reference's 6 CUDA backward
-# variants, ms_deform_im2col_cuda.cuh:305-925)
-_PALLAS_TRAINING_MODE = False
+# Pallas dispatch flags live in thread-local storage so parallel traces
+# (e.g. a background compile thread) never observe another thread's mode.
+import threading
+
+_DISPATCH = threading.local()
 
 
 class pallas_deform_inference:
@@ -146,36 +144,42 @@ class pallas_deform_inference:
     inference calls traced inside it (dense bilinear-matrix v4 kernel,
     measured 2.5-4x over the XLA gather on v5e at UNet/prefill shapes)."""
 
+    _flag = "inference"
+
     def __enter__(self):
-        global _PALLAS_INFERENCE_MODE
-        self._prev = _PALLAS_INFERENCE_MODE
-        _PALLAS_INFERENCE_MODE = True
+        self._prev = getattr(_DISPATCH, self._flag, False)
+        setattr(_DISPATCH, self._flag, True)
 
     def __exit__(self, *exc):
-        global _PALLAS_INFERENCE_MODE
-        _PALLAS_INFERENCE_MODE = self._prev
+        setattr(_DISPATCH, self._flag, self._prev)
 
 
-class pallas_deform_training:
+class pallas_deform_training(pallas_deform_inference):
     """Context manager routing large-Q deformable calls to the
     differentiable Pallas kernel (`ms_deform_attn_pallas_v4_trainable`) —
     forward + transposed-matmul backward, grads verified against the XLA
     autodiff path in tests/test_pallas_kernel.py."""
 
-    def __enter__(self):
-        global _PALLAS_TRAINING_MODE
-        self._prev = _PALLAS_TRAINING_MODE
-        _PALLAS_TRAINING_MODE = True
+    _flag = "training"
 
-    def __exit__(self, *exc):
-        global _PALLAS_TRAINING_MODE
-        _PALLAS_TRAINING_MODE = self._prev
+
+def factorized_deform_eligible(Lq: int) -> bool:
+    """The factorized multi-image kernel (forward-only, image-level masks)
+    serves inference traces on TPU at UNet query counts."""
+    import os
+
+    if not getattr(_DISPATCH, "inference", False):
+        return False
+    if os.environ.get("MMI_DISABLE_PALLAS_DEFORM"):
+        return False
+    return jax.default_backend() in ("tpu", "axon") and Lq >= 64
 
 
 def _pallas_eligible(Lq: int) -> bool:
     import os
 
-    if not (_PALLAS_INFERENCE_MODE or _PALLAS_TRAINING_MODE):
+    if not (getattr(_DISPATCH, "inference", False)
+            or getattr(_DISPATCH, "training", False)):
         return False
     if os.environ.get("MMI_DISABLE_PALLAS_DEFORM"):
         return False

@@ -147,11 +147,11 @@ def test_training_mode_dispatch():
     M = importlib.import_module("mm_interleaved_tpu.ops.ms_deform_attn")
 
     with M.pallas_deform_training():
-        assert M._PALLAS_TRAINING_MODE
+        assert getattr(M._DISPATCH, "training", False)
         assert M._pallas_eligible(512) or jax.default_backend() == "cpu"
         # the decode regime must stay on the dense one-hot XLA path
         assert not M._pallas_eligible(M.SMALL_Q_THRESHOLD)
-    assert not M._PALLAS_TRAINING_MODE
+    assert not getattr(M._DISPATCH, "training", False)
 
 
 def test_v4_query_padding():
@@ -184,4 +184,58 @@ def test_v4_query_padding():
     gv_ref = jax.grad(loss_ref)(jnp.array(value))
     np.testing.assert_allclose(
         np.asarray(gv), np.asarray(gv_ref), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "level_shapes,Lq,n_img",
+    [(((8, 8), (4, 4)), 70, 2), (((16, 16), (8, 8), (4, 4), (2, 2)), 128, 3)],
+)
+def test_mi_factorized_matches_expanded_oracle(level_shapes, Lq, n_img):
+    """The factorized multi-image kernel (narrow query/image factors,
+    in-kernel expansion + chunked x-lift) equals `ms_deform_attn_multi_image`
+    on the explicitly expanded location/weight tensors."""
+    from mm_interleaved_tpu.ops.ms_deform_attn import (
+        ms_deform_attn_multi_image,
+    )
+    from mm_interleaved_tpu.ops.ms_deform_attn_pallas_mi import (
+        mmfs_deform_factorized,
+    )
+
+    rng = np.random.RandomState(3)
+    B, H, P, D = 2, 4, 3, 8
+    L = len(level_shapes)
+    hw = sum(h * w for h, w in level_shapes)
+    base = level_shapes[0][0]
+    value = rng.randn(B, n_img, hw, H, D).astype(np.float32)
+    ref = rng.rand(B, Lq, 2).astype(np.float32)
+    off_q = (rng.randn(B, Lq, H, P, 2) * 2).astype(np.float32)
+    off_img = (rng.randn(B, n_img, H, P, 2) * 2).astype(np.float32)
+    wq = rng.rand(B, Lq, H, L, P).astype(np.float32)
+    wi = rng.rand(B, n_img, H, L, P).astype(np.float32)
+    # mask one image out through the weight factor (how the module does it)
+    wi[:, -1] = 0.0
+
+    got = mmfs_deform_factorized(
+        jnp.asarray(value), level_shapes, jnp.asarray(ref),
+        jnp.asarray(off_q), jnp.asarray(off_img), jnp.asarray(wq),
+        jnp.asarray(wi), inv_base=1.0 / base, interpret=True,
+    )
+
+    # expand explicitly: [B, Lq, H, n_img, L, P]
+    w_wide = wq[:, :, :, None] * np.transpose(wi, (0, 2, 1, 3, 4))[:, None]
+    off_full = off_q[:, :, None] + off_img[:, None]  # [B,Lq,n_img,H,P,2]
+    loc = (
+        ref[:, :, None, None, None, None, :]
+        + np.transpose(off_full, (0, 1, 3, 2, 4, 5))[:, :, :, :, None]
+        / base
+    )
+    loc = np.broadcast_to(loc, (B, Lq, H, n_img, L, P, 2))
+    want = ms_deform_attn_multi_image(
+        jnp.asarray(value.reshape(B, n_img, hw, H, D)), level_shapes,
+        jnp.asarray(loc.astype(np.float32)),
+        jnp.asarray(w_wide.astype(np.float32)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
