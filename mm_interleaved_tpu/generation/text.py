@@ -139,6 +139,14 @@ def generate_tokens(
         extract_vision_values(model, inters)
         if mmfs_values is not None else None
     )
+    if vision_value_cache is not None:
+        # [n_cross, B, n_img, hw, d]: batch over data axes, projected value
+        # channels over `tensor` (matching the value_proj column split)
+        from ..parallel.inference import constrain
+
+        vision_value_cache = constrain(
+            vision_value_cache, None, ("data", "fsdp"), None, None, "tensor"
+        )
     last_logits = logits[:, -1].astype(jnp.float32)
 
     # decode steps reuse the image-visibility of the last prompt position

@@ -75,6 +75,16 @@ class LlamaConfig:
         return layer_idx % self.cross_attention_frequency == 0
 
 
+def _shard_kv(x: jax.Array) -> jax.Array:
+    """Pin the stacked KV cache layout under sharded generation: batch over
+    the data axes, kv heads over `tensor` (matching the megatron k/v_proj
+    column split, so cache writes need no collective).  Identity outside a
+    `generation_mesh` context."""
+    from ..parallel.inference import constrain
+
+    return constrain(x, None, ("data", "fsdp"), None, "tensor", None)
+
+
 @struct.dataclass
 class KVCache:
     """Preallocated per-layer KV cache.
@@ -100,8 +110,8 @@ class KVCache:
         )
         dtype = config.compute_dtype
         return cls(
-            k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
+            k=_shard_kv(jnp.zeros(shape, dtype)),
+            v=_shard_kv(jnp.zeros(shape, dtype)),
             valid=jnp.zeros((batch, max_len), jnp.bool_),
             length=jnp.zeros((), jnp.int32),
         )
@@ -401,8 +411,8 @@ class LlamaModel(nn.Module):
         new_cache = None
         if cache is not None:
             new_cache = KVCache(
-                k=jnp.stack(new_ks),
-                v=jnp.stack(new_vs),
+                k=_shard_kv(jnp.stack(new_ks)),
+                v=_shard_kv(jnp.stack(new_vs)),
                 valid=new_valid,
                 length=cache.length + T,
             )

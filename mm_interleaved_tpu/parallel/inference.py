@@ -1,0 +1,185 @@
+"""Sharded generation runtime — mesh-aware decode/denoise.
+
+The reference runs every released benchmark on Vicuna-13B
+(`configs/release/mm_eval.yaml`; reference `inference.py:282-302`); 13B
+bf16 params are ~26 GB and cannot decode on a single v5e chip, so
+inference must run model-sharded.  TPU-native design (no analogue in the
+reference, which relies on single-GPU HF `.generate()`):
+
+  * params are committed to `NamedSharding`s from the same partition rules
+    the trainer uses (`parallel.partition.DEFAULT_RULES`: megatron-style TP
+    over the ``tensor`` axis, weight sharding over ``fsdp``) — XLA GSPMD
+    then inserts the decode-time collectives (one all-reduce per
+    attention/MLP output projection, riding ICI);
+  * the generation entry points are jitted as whole programs: prefill +
+    the full `lax.scan` decode (or denoise) loop compile into one
+    executable, so per-step host dispatch disappears and the batch stays
+    sharded over ``(data, fsdp)`` throughout;
+  * the KV cache and the prefill-hoisted MMFS value projections are pinned
+    with ``with_sharding_constraint`` (kv heads on ``tensor``, batch on the
+    data axes) via the ambient :func:`generation_mesh` context, so the
+    cache stays distributed instead of whatever GSPMD propagation picks —
+    at 13B the replicated cache alone would not fit.
+"""
+
+from __future__ import annotations
+
+import contextvars
+from contextlib import contextmanager
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .partition import DEFAULT_RULES, _fit_spec, params_shardings
+
+# Ambient mesh for generation-time sharding constraints.  Context-local so
+# parallel traces never observe another thread's mesh (same rationale as
+# ops.ms_deform_attn._DISPATCH).
+_GEN_MESH: contextvars.ContextVar[Optional[Mesh]] = contextvars.ContextVar(
+    "mmi_generation_mesh", default=None
+)
+
+
+@contextmanager
+def generation_mesh(mesh: Optional[Mesh]):
+    """Activate ``mesh`` for :func:`constrain` calls traced inside."""
+    token = _GEN_MESH.set(mesh)
+    try:
+        yield
+    finally:
+        _GEN_MESH.reset(token)
+
+
+def current_generation_mesh() -> Optional[Mesh]:
+    return _GEN_MESH.get()
+
+
+def constrain(x: jax.Array, *axes) -> jax.Array:
+    """`with_sharding_constraint(x, P(*axes))` against the ambient
+    generation mesh; identity when no mesh is active.  Axes that don't
+    divide the dimension are dropped (same policy as the param rules), so
+    model code can state the *intended* layout unconditionally."""
+    mesh = _GEN_MESH.get()
+    if mesh is None or x is None:
+        return x
+    spec = _fit_spec(P(*axes), x.shape, mesh)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+class ShardedGenerator:
+    """Mesh-committed params + jitted generation entry points.
+
+    Replaces the reference's single-GPU eval runtime (`inference.py:237-272`)
+    for models that need more than one chip.  Usage::
+
+        gen = ShardedGenerator(model, variables, mesh)
+        tokens = gen.generate_texts(text_ids, image_tensors, n_img, mask, cfg)
+        images = gen.generate_images(text_ids, image_tensors, n_img, mask,
+                                     rng=rng, num_inference_steps=30)
+    """
+
+    def __init__(self, model, variables, mesh: Mesh, rules=DEFAULT_RULES):
+        self.model = model
+        self.mesh = mesh
+        self.rules = rules
+        self.variables = jax.device_put(
+            variables, params_shardings(variables, mesh, rules)
+        )
+        self._jit_text = {}
+        self._jit_image = {}
+        self._jit_image_inputs = None
+
+    # -------------------------------------------------------------- #
+
+    def _shard_batch(self, tree):
+        sh = NamedSharding(self.mesh, P(("data", "fsdp")))
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), sh), tree
+        )
+
+    # -------------------------------------------------------------- #
+
+    def generate_texts(self, text_ids, image_tensors, num_image_per_seq,
+                       attention_mask=None, cfg=None, rng=None):
+        from ..generation.text import TextGenerationConfig, generate_texts
+
+        cfg = cfg or TextGenerationConfig()
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        if attention_mask is None:
+            attention_mask = (
+                text_ids != self.model.cfg.special.pad_token_id
+            ).astype(jnp.int32)
+        if cfg not in self._jit_text:
+            model = self.model
+
+            def fn(variables, text_ids, image_tensors, num_image_per_seq,
+                   attention_mask, rng):
+                return generate_texts(
+                    model, variables, text_ids, image_tensors,
+                    num_image_per_seq, attention_mask, cfg, rng,
+                )
+
+            self._jit_text[cfg] = jax.jit(fn)
+        batch = self._shard_batch(
+            (text_ids, image_tensors, num_image_per_seq, attention_mask)
+        )
+        with generation_mesh(self.mesh):
+            return self._jit_text[cfg](self.variables, *batch, rng)
+
+    # -------------------------------------------------------------- #
+
+    def generate_image_inputs(self, text_ids, image_tensors,
+                              num_image_per_seq, attention_mask):
+        """Sharded context/mmfs prep for image generation (the encoder +
+        LLM prefix forward of `generate_image_inputs`)."""
+        if self._jit_image_inputs is None:
+            model = self.model
+
+            def fn(variables, *args):
+                return model.apply(
+                    variables, *args, method=model.generate_image_inputs
+                )
+
+            self._jit_image_inputs = jax.jit(fn)
+        batch = self._shard_batch(
+            (text_ids, image_tensors, num_image_per_seq, attention_mask)
+        )
+        with generation_mesh(self.mesh):
+            return self._jit_image_inputs(self.variables, *batch)
+
+    def generate_images(self, text_ids, image_tensors, num_image_per_seq,
+                        attention_mask=None, rng=None,
+                        num_inference_steps: int = 30,
+                        guidance_scale: float = 3.5, sampler: str = "ddpm"):
+        from ..generation.diffusion import generate_images
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        if attention_mask is None:
+            attention_mask = (
+                text_ids != self.model.cfg.special.pad_token_id
+            ).astype(jnp.int32)
+        ctx, ctx_mask, mmfs_vals, mmfs_mask = self.generate_image_inputs(
+            text_ids, image_tensors, num_image_per_seq, attention_mask
+        )
+        key = (num_inference_steps, guidance_scale, sampler)
+        if key not in self._jit_image:
+            model = self.model
+
+            def fn(variables, ctx, ctx_mask, mmfs_vals, mmfs_mask, rng):
+                return generate_images(
+                    model, variables, ctx, ctx_mask, rng,
+                    mmfs_values=mmfs_vals, mmfs_mask=mmfs_mask,
+                    num_inference_steps=num_inference_steps,
+                    guidance_scale=guidance_scale, sampler=sampler,
+                )
+
+            self._jit_image[key] = jax.jit(fn)
+        with generation_mesh(self.mesh):
+            return self._jit_image[key](
+                self.variables, ctx, ctx_mask, mmfs_vals, mmfs_mask, rng
+            )
