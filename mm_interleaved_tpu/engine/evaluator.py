@@ -105,6 +105,7 @@ class Evaluator:
         result = {
             "CIDEr": M.cider_d(cands, refs),
             "BLEU4": M.bleu(cands, refs),
+            "ROUGE_L": M.rouge_l(cands, refs),
             "num_samples": len(cands),
         }
         self._sink(dataset_name, result)

@@ -18,16 +18,88 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 # --------------------------------------------------------------------- #
-# text normalisation (PTB-ish, as pycocoevalcap's tokenizer output)      #
+# PTB tokenisation — the pycocoevalcap caption-scoring pipeline           #
+# (reference `utils/coco_cap_score.py:7` scores through COCOEvalCap,      #
+# whose PTBTokenizer runs the Stanford PTB tokenizer with ``-lowerCase``  #
+# and then deletes the PUNCTUATIONS tokens below).  We reproduce the PTB  #
+# rules — the Treebank sed-script transformations every PTB tokenizer     #
+# implements: quote normalisation to ``/'', clitic splitting ('s 'll     #
+# n't ...), bracket tokens (-LRB- ...), final-period splitting, intra-    #
+# word hyphens kept — so caption scores are comparable to published       #
+# pycocoevalcap numbers.                                                  #
 # --------------------------------------------------------------------- #
 
-_PUNCT = re.compile(r"[^\w\s]")
+# pycocoevalcap/tokenizer/ptbtokenizer.py PUNCTUATIONS — tokens deleted
+# after tokenisation
+_PTB_PUNCTUATIONS = {
+    "''", "'", "``", "`", "-lrb-", "-rrb-", "-lcb-", "-rcb-",
+    ".", "?", "!", ",", ":", "-", "--", "...", ";",
+}
+
+_PTB_STARTING_QUOTES = [
+    (re.compile(r"^\""), r"``"),
+    (re.compile(r"(``)"), r" \1 "),
+    (re.compile(r"([ \(\[{<])(\"|\'{2})"), r"\1 `` "),
+]
+_PTB_PUNCT_RULES = [
+    (re.compile(r"([:,])([^\d])"), r" \1 \2"),
+    (re.compile(r"([:,])$"), r" \1 "),
+    (re.compile(r"\.\.\."), r" ... "),
+    (re.compile(r"[;@#$%&]"), r" \g<0> "),
+    # final-period split (keeps abbreviation-internal periods attached)
+    (re.compile(r"([^\.])(\.)([\]\)}>\"\']*)\s*$"), r"\1 \2\3 "),
+    (re.compile(r"[?!]"), r" \g<0> "),
+    (re.compile(r"([^'])' "), r"\1 ' "),
+]
+_PTB_BRACKETS = [
+    (re.compile(r"\("), " -LRB- "), (re.compile(r"\)"), " -RRB- "),
+    (re.compile(r"\["), " -LSB- "), (re.compile(r"\]"), " -RSB- "),
+    (re.compile(r"\{"), " -LCB- "), (re.compile(r"\}"), " -RCB- "),
+    (re.compile(r"--"), " -- "),
+]
+_PTB_ENDING_QUOTES = [
+    (re.compile(r"\""), " '' "),
+    (re.compile(r"(\S)(\'\')"), r"\1 \2 "),
+    (re.compile(r"([^' ])('[sS]|'[mM]|'[dD]|') "), r"\1 \2 "),
+    (re.compile(r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) "), r"\1 \2 "),
+]
+_PTB_CONTRACTIONS = [
+    re.compile(r"(?i)\b(can)(not)\b"),
+    re.compile(r"(?i)\b(d)('ye)\b"),
+    re.compile(r"(?i)\b(gim)(me)\b"),
+    re.compile(r"(?i)\b(gon)(na)\b"),
+    re.compile(r"(?i)\b(got)(ta)\b"),
+    re.compile(r"(?i)\b(lem)(me)\b"),
+    re.compile(r"(?i)\b(mor)('n)\b"),
+    re.compile(r"(?i)\b(wan)(na)\s"),
+    re.compile(r"(?i) ('t)(is)\b"),
+    re.compile(r"(?i) ('t)(was)\b"),
+]
+
+
+def ptb_tokenize(s: str) -> List[str]:
+    """Stanford-PTB-style tokens of ``s``, lowercased, with the
+    pycocoevalcap PUNCTUATIONS tokens removed."""
+    text = " " + s.strip() + " "
+    for pat, sub in _PTB_STARTING_QUOTES:
+        text = pat.sub(sub, text)
+    for pat, sub in _PTB_PUNCT_RULES:
+        text = pat.sub(sub, text)
+    for pat, sub in _PTB_BRACKETS:
+        text = pat.sub(sub, text)
+    text = " " + text + " "
+    for pat, sub in _PTB_ENDING_QUOTES:
+        text = pat.sub(sub, text)
+    for pat in _PTB_CONTRACTIONS:
+        text = pat.sub(r" \1 \2 ", text)
+    toks = text.lower().split()
+    return [t for t in toks if t not in _PTB_PUNCTUATIONS]
 
 
 def simple_tokenize(s: str) -> List[str]:
-    s = s.lower().strip()
-    s = _PUNCT.sub(" ", s)
-    return s.split()
+    """Alias retained for non-caption callers; caption metrics tokenize with
+    the PTB pipeline above."""
+    return ptb_tokenize(s)
 
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:
@@ -66,12 +138,50 @@ def bleu(
             clipped[n - 1] += sum(
                 min(c, max_ref.get(g, 0)) for g, c in cn.items()
             )
-    precisions = np.where(totals > 0, clipped / np.maximum(totals, 1), 0.0)
-    if (precisions == 0).any():
-        return 0.0
+    # official bleu_scorer smoothing constants (tiny/small) keep zero-count
+    # orders finite instead of zeroing the whole corpus score
+    tiny, small = 1e-15, 1e-9
+    precisions = (clipped + tiny) / (totals + small)
     log_p = np.mean(np.log(precisions))
     bp = 1.0 if cand_len > ref_len else np.exp(1 - ref_len / max(cand_len, 1))
     return float(bp * np.exp(log_p))
+
+
+# --------------------------------------------------------------------- #
+# ROUGE-L (COCOEvalCap's Rouge: LCS F-measure, beta = 1.2, max over      #
+# references, mean over the corpus)                                     #
+# --------------------------------------------------------------------- #
+
+def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b):
+            cur.append(prev[j] + 1 if x == y else max(cur[j], prev[j + 1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(candidates: List[str], references: List[List[str]],
+            beta: float = 1.2) -> float:
+    assert len(candidates) == len(references)
+    scores = []
+    for cand, refs in zip(candidates, references):
+        ct = ptb_tokenize(cand)
+        prec, rec = [], []
+        for r in refs:
+            rt = ptb_tokenize(r)
+            lcs = _lcs_len(ct, rt)
+            prec.append(lcs / max(len(ct), 1))
+            rec.append(lcs / max(len(rt), 1))
+        p, r = max(prec, default=0.0), max(rec, default=0.0)
+        if p != 0 and r != 0:
+            scores.append(((1 + beta ** 2) * p * r) / (r + beta ** 2 * p))
+        else:
+            scores.append(0.0)
+    return float(np.mean(scores)) if scores else 0.0
 
 
 # --------------------------------------------------------------------- #
