@@ -20,6 +20,11 @@ def main():
     ap.add_argument("--config", required=True)
     ap.add_argument("--output_dir", default=None)
     ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument(
+        "--load_from", default=None,
+        help="orbax checkpoint dir (scripts/convert_checkpoint.py output) "
+        "to warm-start params from when no auto-resume checkpoint exists",
+    )
     args = ap.parse_args()
 
     import jax
@@ -93,7 +98,23 @@ def main():
             prefix="MMInterleaved.",
         )
 
+    # warm-start from a converted/released checkpoint (reference
+    # train.py:58-59 `load_model_weights(model, config.load_from)`) — only
+    # when not resuming mid-run, so auto-resume always wins
+    load_from = args.load_from or tr.get("load_from")
     state = trainer.restore(state)  # auto-resume (train.py:62-66)
+    if load_from and int(state.step) == 0:
+        from mm_interleaved_tpu.engine.trainer import TrainState
+        from mm_interleaved_tpu.utils.checkpoint import load_variables
+
+        loaded = load_variables(
+            trainer.model, model_cfg, load_from, seed=optim_seed(tr)
+        )
+        state = trainer.shard_state(TrainState(
+            step=state.step, params=loaded, opt_state=state.opt_state,
+        ))
+        if jax.process_index() == 0:
+            print(f"warm-started params from {load_from}")
     from mm_interleaved_tpu.data.pipeline import prefetch, skip_batches
 
     if int(state.step) > 0:
