@@ -12,8 +12,52 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
+
+
+# Reference per-task generation defaults, applied when the dataset stanza
+# does not override them (ImageTextPairCollator collator.py:199-205,
+# VQACollator collator.py:543-549; the model maps max_length ->
+# max_new_tokens at the generate call, mm_interleaved.py:647).
+REF_TASK_DEFAULTS = {
+    "generate_texts": dict(max_new_tokens=20, min_new_tokens=8,
+                           length_penalty=1.0, num_beams=5, top_p=0.9),
+    "generate_vqa": dict(max_new_tokens=10, min_new_tokens=0,
+                         length_penalty=0.0, num_beams=3, top_p=1.0),
+    # release t2i protocol (mm_eval.yaml:142-145); num_validation_images
+    # defaults to 1 unless the stanza raises it
+    "generate_images": dict(num_inference_steps=250, guidance_scale=3.5,
+                            num_candidates=1),
+}
+
+# reference generation_kwargs key -> EvalConfig field
+_REF_KEY_ALIASES = {
+    "max_length": "max_new_tokens",
+    "min_length": "min_new_tokens",
+    "num_validation_images": "num_candidates",
+}
+
+
+def resolve_eval_config(base_cfg, mode, ds_cfg, explicit_global=()):
+    """Per-dataset EvalConfig: reference task defaults, then keys the user
+    set explicitly in the global ``evaluation:`` section, then the dataset
+    stanza's ``generation_kwargs`` (reference semantics: collator defaults
+    overridden per-dataset, collator.py:206,369-371)."""
+    import dataclasses
+
+    values = {}
+    for k, v in REF_TASK_DEFAULTS.get(mode, {}).items():
+        if k not in explicit_global:
+            values[k] = v
+    for k, v in (ds_cfg.get("generation_kwargs") or {}).items():
+        values[_REF_KEY_ALIASES.get(k, k)] = v
+    known = {f.name for f in dataclasses.fields(type(base_cfg))}
+    unknown = set(values) - known
+    if unknown:
+        raise ValueError(f"unknown generation_kwargs: {sorted(unknown)}")
+    return dataclasses.replace(base_cfg, **values)
 
 
 def build_eval_dataset(ds_cfg, model_cfg, tokenizer):
@@ -46,18 +90,28 @@ def build_eval_dataset(ds_cfg, model_cfg, tokenizer):
             seq_len=ds_cfg.get("seq_len", 256), mode=mode,
             instr_prompts=ds_cfg.get("instr_prompts"),
         )
-    elif name == "vqa":
-        ds = VQADataset(
-            ds_cfg["questions_file"], ds_cfg.get("annotations_file"),
-            ds_cfg["data_root"], transform,
-            total_length=ds_cfg.get("total_length"),
-        )
+    elif name in ("vqa", "vizwiz_vqa"):
+        if name == "vizwiz_vqa":
+            from mm_interleaved_tpu.data.datasets import VizWizVQADataset
+
+            ds = VizWizVQADataset(
+                ds_cfg["annt_file"], ds_cfg["data_root"], transform,
+                total_length=ds_cfg.get("total_length"),
+            )
+        else:
+            ds = VQADataset(
+                ds_cfg["questions_file"], ds_cfg.get("annotations_file"),
+                ds_cfg["data_root"], transform,
+                image_name_format=ds_cfg.get("image_name_format"),
+                total_length=ds_cfg.get("total_length"),
+            )
         coll = VQACollator(
             tokenizer, tokenizer.special,
             num_img_token=model_cfg.num_img_token,
             seq_len=ds_cfg.get("seq_len", 320),
             instr_prompts=ds_cfg.get("instr_prompts"),
         )
+        mode = "generate_vqa"
     elif name == "image_text_jsonl":
         ds = ImageTextJsonlDataset(
             ds_cfg["annt_file"], ds_cfg["data_root"], transform,
@@ -222,6 +276,55 @@ def build_eval_dataset(ds_cfg, model_cfg, tokenizer):
     return ds, coll, mode
 
 
+def _maybe_clip_text_features(ev_cfg, model_cfg):
+    """CLIP text-feature fn for the t2i rerank, from an HF CLIP dir given as
+    ``evaluation.clip_text_path`` (tokenizer files + torch state dict, the
+    same ``openai/clip-vit-large-patch14`` dir `scripts/download_assets.py`
+    fetches). Returns None when unset — rerank then degrades to candidate 0
+    exactly like a missing rerank model in the reference."""
+    path = ev_cfg.get("clip_text_path")
+    if not path:
+        return None
+    import jax.numpy as jnp
+    from transformers import CLIPTokenizer
+
+    from mm_interleaved_tpu.models.clip_text import (
+        CLIPTextConfig,
+        CLIPTextModel,
+        convert_clip_text,
+    )
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from convert_checkpoint import load_torch_state_dict
+
+    sd = load_torch_state_dict(path)
+    num_layers = 1 + max(
+        int(k.split(".")[3]) for k in sd if ".encoder.layers." in k
+    )
+    hidden = sd["text_model.embeddings.token_embedding.weight"].shape[1]
+    cfg = CLIPTextConfig(
+        hidden_size=hidden, intermediate_size=4 * hidden,
+        num_hidden_layers=num_layers,
+        num_attention_heads=hidden // 64,
+        projection_dim=sd["text_projection.weight"].shape[0]
+        if "text_projection.weight" in sd else hidden,
+    )
+    model = CLIPTextModel(cfg)
+    params = convert_clip_text(sd, num_layers=num_layers)
+    tok = CLIPTokenizer.from_pretrained(path)
+
+    def text_features(captions):
+        ids = tok(
+            list(captions), padding="max_length", truncation=True,
+            max_length=cfg.max_position_embeddings, return_tensors="np",
+        )["input_ids"]
+        return np.asarray(
+            model.apply({"params": params}, jnp.asarray(ids))
+        )
+
+    return text_features
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
@@ -249,21 +352,20 @@ def main():
     variables = load_variables(model, model_cfg, args.checkpoint)
 
     ev_cfg = cfg.get("evaluation", {})
-    evaluator = Evaluator(
-        model, variables, tokenizer,
-        EvalConfig(
-            batch_size=ev_cfg.get("batch_size", 8),
-            max_new_tokens=ev_cfg.get("max_new_tokens", 30),
-            num_beams=ev_cfg.get("num_beams", 1),
-            repetition_penalty=ev_cfg.get("repetition_penalty", 1.0),
-            length_penalty=ev_cfg.get("length_penalty", 1.0),
-            num_inference_steps=ev_cfg.get("num_inference_steps", 30),
-            guidance_scale=ev_cfg.get("guidance_scale", 3.5),
-            num_candidates=ev_cfg.get("num_candidates", 1),
-            output_dir=output_dir,
-            max_batches=ev_cfg.get("max_batches"),
-        ),
+    base_eval_cfg = EvalConfig(
+        batch_size=ev_cfg.get("batch_size", 8),
+        max_new_tokens=ev_cfg.get("max_new_tokens", 30),
+        num_beams=ev_cfg.get("num_beams", 1),
+        repetition_penalty=ev_cfg.get("repetition_penalty", 1.0),
+        length_penalty=ev_cfg.get("length_penalty", 1.0),
+        top_p=ev_cfg.get("top_p", 0.9),
+        num_inference_steps=ev_cfg.get("num_inference_steps", 30),
+        guidance_scale=ev_cfg.get("guidance_scale", 3.5),
+        num_candidates=ev_cfg.get("num_candidates", 1),
+        output_dir=output_dir,
+        max_batches=ev_cfg.get("max_batches"),
     )
+    evaluator = Evaluator(model, variables, tokenizer, base_eval_cfg)
 
     # CLIP-feature extractor for FID / rerank / i2i similarity, built from
     # the flagship's own visual tokenizer ViT (CLIP-FID variant); an
@@ -279,8 +381,11 @@ def main():
 
     for ds_cfg in cfg.get("data", {}).get("val", []):
         ds, coll, mode = build_eval_dataset(ds_cfg, model_cfg, tokenizer)
+        evaluator.cfg = resolve_eval_config(
+            base_eval_cfg, mode, ds_cfg, explicit_global=set(ev_cfg),
+        )
         batches = iterate_dataset(
-            ds, ev_cfg.get("batch_size", 8), coll,
+            ds, evaluator.cfg.batch_size, coll,
         )
         name = ds_cfg.get("dataset_name", ds_cfg["type"])
         if mode == "generate_texts":
@@ -290,8 +395,20 @@ def main():
         elif mode == "generate_vqa":
             result = evaluator.evaluate_vqa(batches, dataset_name=name)
         elif mode == "generate_images":
+            # 8-candidate CLIP rerank (mm_eval.yaml:136 rerank_by_clip)
+            # needs image features; text side falls back to the caption
+            # tokens' visual-tokenizer features only when a real CLIP text
+            # tower is loaded, so rerank activates iff both parts exist
+            rerank_fn = None
+            if ds_cfg.get("rerank_by_clip") and feature_fn is not None:
+                from mm_interleaved_tpu.utils.fid import make_clip_rerank_fn
+
+                text_fn = _maybe_clip_text_features(ev_cfg, model_cfg)
+                if text_fn is not None:
+                    rerank_fn = make_clip_rerank_fn(feature_fn, text_fn)
             result = evaluator.evaluate_t2i(
                 batches, dataset_name=name, feature_fn=feature_fn,
+                rerank_fn=rerank_fn,
             )
         elif mode == "generate_scores":
             result = evaluator.evaluate_ranking(batches, dataset_name=name)

@@ -106,6 +106,7 @@ class VQADataset:
         data_root: str,
         transform: Callable,
         image_name_fn: Optional[Callable] = None,
+        image_name_format: Optional[str] = None,
         total_length: Optional[int] = None,
         loader=None,
     ):
@@ -121,10 +122,17 @@ class VQADataset:
                     answers[a["question_id"]] = [
                         x["answer"] for x in a["answers"]
                     ]
+        if image_name_fn is None and image_name_format is not None:
+            # e.g. "COCO_val2014_{:012d}.jpg" — the reference's
+            # ann_name_format file naming (vqa_datasets.py:81)
+            image_name_fn = image_name_format.format
         self.image_name_fn = image_name_fn or (lambda i: str(i))
         self.items = [
             dict(
-                image=self.image_name_fn(q["image_id"]),
+                # TextVQA-style question files carry the file name directly
+                # (reference vqa_datasets.py:174); VQAv2/OK-VQA derive it
+                # from the numeric image_id
+                image=q.get("image") or self.image_name_fn(q["image_id"]),
                 question=q["question"],
                 question_id=q["question_id"],
                 answers=answers.get(q["question_id"], []),
@@ -143,6 +151,40 @@ class VQADataset:
             os.path.join(self.data_root, item["image"])
         )
         return self.transform(img), item["question"], item["answers"], idx
+
+
+class VizWizVQADataset(VQADataset):
+    """VizWiz-VQA: one json list of {image, question, answers:[{answer}..]}
+    (reference vqa_datasets.py:106-132). All 10 crowd answers are kept so
+    the official VQA accuracy (3-of-10 consensus) applies unchanged."""
+
+    def __init__(
+        self,
+        annt_file: str,
+        data_root: str,
+        transform: Callable,
+        total_length: Optional[int] = None,
+        loader=None,
+    ):
+        self.data_root = data_root
+        self.transform = transform
+        self.loader = loader or LocalLoader()
+        with open(annt_file) as f:
+            meta = json.load(f)
+        self.image_name_fn = str
+        self.items = [
+            dict(
+                image=ann["image"],
+                question=ann["question"],
+                question_id=int(
+                    ann["image"].split("_")[-1].split(".")[0]
+                ),
+                answers=[x["answer"] for x in ann.get("answers", [])],
+            )
+            for ann in meta
+        ]
+        if total_length:
+            self.items = self.items[:total_length]
 
 
 class ImageTextJsonlDataset:

@@ -39,6 +39,7 @@ class EvalConfig:
     num_beams: int = 1
     repetition_penalty: float = 1.0
     length_penalty: float = 1.0
+    top_p: float = 0.9
     num_inference_steps: int = 30
     guidance_scale: float = 3.5
     # 8-candidate CLIP rerank in the release t2i protocol
@@ -61,10 +62,13 @@ class Evaluator:
         sp = self.model.cfg.special
         base = dict(
             max_new_tokens=self.cfg.max_new_tokens,
-            min_new_tokens=self.cfg.min_new_tokens,
+            # never let a small max_new_tokens invert the min/max ordering
+            min_new_tokens=min(self.cfg.min_new_tokens,
+                               self.cfg.max_new_tokens),
             num_beams=self.cfg.num_beams,
             repetition_penalty=self.cfg.repetition_penalty,
             length_penalty=self.cfg.length_penalty,
+            top_p=self.cfg.top_p,
             eos_token_ids=(sp.eos_token_id, sp.soi_token_id),
             pad_token_id=sp.pad_token_id,
         )
@@ -114,7 +118,10 @@ class Evaluator:
     def evaluate_vqa(self, batches, dataset_name: str = "vqa"
                      ) -> Dict[str, float]:
         accs = []
-        gen_cfg = self._gen_cfg(min_new_tokens=1, max_new_tokens=10)
+        # per-task defaults (reference VQACollator max_length=10 min_length=0
+        # num_beams=3, collator.py:543-549) are applied by
+        # `evaluate.resolve_eval_config`; direct callers get cfg as-is
+        gen_cfg = self._gen_cfg(min_new_tokens=0)
         for bi, batch in enumerate(batches):
             if self.cfg.max_batches and bi >= self.cfg.max_batches:
                 break
