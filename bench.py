@@ -163,16 +163,51 @@ def run_bench():
     sync(text_jit(variables, batch, key))
     sync(image_jit(variables, batch, key))
 
-    t0 = time.time()
+    # --- latency regime (B as configured, default 2): per-phase timings
+    t_text = t_img = 0.0
     for i in range(reps):
         k = jax.random.fold_in(key, i)
-        toks = text_jit(variables, batch, k)
-        imgs = image_jit(variables, batch, k)
-    sync(toks)
-    sync(imgs)
-    dt = time.time() - t0
+        t0 = time.time()
+        sync(text_jit(variables, batch, k))
+        t_text += time.time() - t0
+        t0 = time.time()
+        sync(image_jit(variables, batch, k))
+        t_img += time.time() - t0
+    turns_per_sec = reps * B / (t_text + t_img)
+    decode_ms_per_tok = 1e3 * t_text / (reps * n_decode)
+    denoise_steps_per_sec = reps * n_denoise / t_img
 
-    turns_per_sec = reps * B / dt
+    # --- throughput regime: decode at B=8 (512px CFG denoise OOMs >B=2 on
+    # one v5e chip, so the image half stays in the latency regime)
+    B8 = int(os.environ.get("BENCH_THROUGHPUT_BATCH", "8"))
+    ids8 = jnp.asarray(np.tile(np.asarray(ids[:1]), (B8, 1)))
+    batch8 = dict(
+        text_ids=ids8,
+        image_tensors=jnp.asarray(
+            rng.rand(B8, cfg.max_num_images, enc_res, enc_res, 3)
+            .astype(np.float32)
+        ),
+        num_image_per_seq=jnp.ones((B8,), jnp.int32),
+        attention_mask=jnp.ones_like(ids8),
+    )
+    sync(text_jit(variables, batch8, key))  # compile
+    t0 = time.time()
+    for i in range(reps):
+        sync(text_jit(variables, batch8, jax.random.fold_in(key, 100 + i)))
+    t_text8 = time.time() - t0
+    decode8_ms_per_tok = 1e3 * t_text8 / (reps * n_decode)
+    tokens_per_sec8 = B8 * reps * n_decode / t_text8
+
+    # --- ceiling estimates (v5e: 197 TFLOP/s bf16, ~819 GB/s HBM).
+    # decode is HBM-bound: every step re-reads the bf16 weights once
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(variables["params"])
+    )
+    param_bytes = 2.0 * n_params
+    step_s8 = t_text8 / (reps * n_decode)
+    hbm_util8 = param_bytes / step_s8 / 819e9
+    mfu8 = 2.0 * n_params * B8 / step_s8 / 197e12
+
     baseline = _a100_turns_per_sec_est(preset, B, n_decode, n_denoise)
     return {
         "metric": "interleaved_turns_per_sec_per_chip",
@@ -181,6 +216,16 @@ def run_bench():
                 f"{n_decode} tok + {n_denoise} denoise steps)",
         "vs_baseline": round(turns_per_sec / baseline, 2),
         "baseline_est_turns_per_sec": round(baseline, 4),
+        # latency regime components
+        "decode_ms_per_tok_latency": round(decode_ms_per_tok, 2),
+        "denoise_steps_per_sec": round(denoise_steps_per_sec, 2),
+        # throughput regime (text decode at B=8)
+        "throughput_batch": B8,
+        "decode_ms_per_tok_throughput": round(decode8_ms_per_tok, 2),
+        "tokens_per_sec_throughput": round(tokens_per_sec8, 1),
+        # chip-ceiling estimates for the throughput decode
+        "decode_hbm_util_est": round(hbm_util8, 3),
+        "decode_mfu_est": round(mfu8, 3),
     }
 
 
