@@ -17,12 +17,18 @@ import jax
 import jax.numpy as jnp
 
 
-def _use_pallas(q: jax.Array) -> bool:
+def _use_pallas(q: jax.Array, k: jax.Array) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    # Pallas kernel requires head_dim and seq tiles aligned to hardware lanes.
-    *_, t, h, d = q.shape
-    return d % 128 == 0 and t >= 256
+    # Pallas kernel needs lane-aligned tiles: head_dim 128-aligned (64 is
+    # zero-padded to 128 inside ops/flash_attention.py — exact) and both
+    # sequence lengths divisible by the block size (ViT's T=257 stays on
+    # the XLA path).
+    *_, tq, h, d = q.shape
+    tk = k.shape[-3]
+    if not (d % 128 == 0 or d == 64):
+        return False
+    return tq >= 256 and tq % 128 == 0 and tk % 128 == 0
 
 
 def dot_product_attention(
@@ -53,7 +59,7 @@ def dot_product_attention(
         attention only within equal segments.  Prefer these over a dense
         ``mask`` for padding — they keep the Pallas flash path eligible.
     """
-    if (allow_pallas and _use_pallas(q) and bias is None and mask is None):
+    if (allow_pallas and _use_pallas(q, k) and bias is None and mask is None):
         try:
             from .flash_attention import flash_attention
 

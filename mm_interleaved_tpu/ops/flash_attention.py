@@ -34,6 +34,22 @@ def flash_attention(
 
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
+
+    # The Pallas kernel wants lane-aligned head_dim.  ViT-L and the SD UNet
+    # use head_dim 64 (the reference runs them through xformers,
+    # `vit_adapter/xattn.py:70-72`, `decoders/sd.py:64-65`); zero-padding
+    # D -> 128 is exact — padded Q/K columns contribute nothing to QK^T
+    # (scale is already fixed from the true d above) and the padded output
+    # columns are sliced off.  The MXU contracts 128 lanes per pass either
+    # way, so the padding is ~free compared to the XLA fallback's
+    # materialized [T, T] logits.
+    d_pad = (-d) % 128
+    if d_pad:
+        pad = [(0, 0)] * (q.ndim - 1) + [(0, d_pad)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
     segment_ids = None
     if q_segment_ids is not None:
         segment_ids = SegmentIds(
@@ -66,4 +82,7 @@ def flash_attention(
         sm_scale=scale,
         block_sizes=blk,
     )
-    return out.swapaxes(1, 2)
+    out = out.swapaxes(1, 2)
+    if d_pad:
+        out = out[..., :d]
+    return out

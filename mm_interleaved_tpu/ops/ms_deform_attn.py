@@ -156,7 +156,7 @@ class pallas_deform_inference:
 
 class pallas_deform_training(pallas_deform_inference):
     """Context manager routing large-Q deformable calls to the
-    differentiable Pallas kernel (`ms_deform_attn_pallas_v4_trainable`) —
+    differentiable Pallas kernel (`ms_deform_attn_pallas_v5_trainable`) —
     forward + transposed-matmul backward, grads verified against the XLA
     autodiff path in tests/test_pallas_kernel.py."""
 
@@ -223,13 +223,16 @@ def ms_deform_attn(
 
     Lq = sampling_locations.shape[1]
     if _pallas_eligible(Lq):
-        # both modes use the differentiable dense bilinear-matrix kernel
-        # (custom_vjp; the forward is identical either way)
-        from .ms_deform_attn_pallas_v4 import (
-            ms_deform_attn_pallas_v4_trainable,
+        # both modes use the differentiable occupancy-gated chunked kernel
+        # (custom_vjp; the forward is identical either way) — measured
+        # 1.5x fwd / 2.1x fwd+bwd over the dense v4 kernel at the
+        # clustered sampling distributions the model actually produces,
+        # ~20x over XLA autodiff (scripts/bench_v5_kernel.py)
+        from .ms_deform_attn_pallas_v5 import (
+            ms_deform_attn_pallas_v5_trainable,
         )
 
-        return ms_deform_attn_pallas_v4_trainable(
+        return ms_deform_attn_pallas_v5_trainable(
             value, tuple(spatial_shapes), sampling_locations,
             attention_weights,
         )

@@ -1,10 +1,9 @@
 """Factorized multi-image deformable-attention Pallas kernel (inference).
 
-Fifth-generation formulation, built for the UNet-side MMFS denoise loop
-(reference `sd_mmfs.py:99-151` + `sd_unet_forward_monkey_patch.py:318-325`)
-where the image mask — and hence the per-image relative-position index — is
-per *(batch, image)*, not per query.  Exploits two structural facts the
-generic v4 kernel cannot:
+Serves the UNet-side MMFS denoise loop (reference `sd_mmfs.py:99-151` +
+`sd_unet_forward_monkey_patch.py:318-325`) where the image mask — and hence
+the per-image relative-position index — is per *(batch, image)*, not per
+query.  Exploits three structural facts the generic kernels cannot:
 
 1. **The image axis never needs to leave the chip.**  Sampling locations
    and attention weights decompose into a query part and a per-image part
@@ -14,134 +13,132 @@ generic v4 kernel cannot:
        aw[b,q,h,n,l,p] = wq[b,q,h,l,p] * wi[b,n,h,l,p]
 
    The kernel takes the narrow query slab (no ``n_img`` axis) plus a tiny
-   per-image delta table and loops over images *inside* the grid cell —
-   HBM traffic for the slab drops by the ``n_img`` factor and the wide
-   ``[B, Lq, H, n_img, L, P, 2]`` location tensor is never materialised.
+   per-image delta table in SMEM and loops over images *inside* the grid
+   cell — the wide ``[B, Lq, H, n_img, L, P, 2]`` location tensor is never
+   materialised.
 
-2. **The 0/1 x-expansion is block-diagonal.**  v4 lifts the narrow
-   x-weights to the wide x-major layout with one ``[TQ, Wp] @ [Wp, H*Wp]``
-   matmul per point; but each 128-lane output tile only reads ``128/H``
-   x-rows, so the systolic array streams ``Wp`` K-rows where ``~wc`` are
-   nonzero.  Chunking the expansion into ``wc*H``-lane column blocks
-   (``wc = ~512/H``) cuts the expansion MXU cycles by ``Wp/wc`` (8x at the
-   64x64 UNet level) and turns the level contraction into a sequence of
-   ``[TQ, wc*H] @ [wc*H, D]`` matmuls — the useful A@V work dominates again.
+2. **Bilinear hat weights are 2-sparse per row axis** and the sampling
+   rows of one row-major 128-query tile cluster tightly (UNet queries are
+   latent-grid points with grid-local reference points).  The value slab
+   stays in natural row-major order, split into row chunks; per-image,
+   per-level, per-chunk occupancy bits — computed on the host from the
+   narrow slab min/max row intervals — gate each chunk's A-build + matmul
+   behind ``pl.when``.  Skipping is exact: an unoccupied chunk's bilinear
+   matrix is identically zero (see `ms_deform_attn_pallas_v5.py`).
+
+3. **Masked images cost nothing**: ``wi == 0`` clears every occupancy bit
+   of that image, so the inner image loop degenerates to the live images.
 
 Forward-only: the denoise loop runs under `jax.lax.scan` with no gradient.
-Training and the LLM-branch per-query masks stay on the v4 kernel.
+Training and the LLM-branch per-query masks use the v5 trainable kernel.
 """
 
 from __future__ import annotations
 
 import functools
-import math
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ms_deform_attn_pallas_v4 import _padded_cols
+from .ms_deform_attn_pallas_v5 import (
+    _WORD_BITS,
+    _hat,
+    _metas,
+)
 
 _LANE = 128
 
 
-def _hat(t):
-    return jnp.maximum(1.0 - jnp.abs(t), 0.0)
-
-
-def _chunk_width(h: int, wp: int) -> int:
-    """x-chunk width: ``wc*h`` lanes per expansion block, targeting ~512
-    lanes, always a multiple of 128 (`_padded_cols` guarantees ``h*wp``
-    is)."""
-    wc = min(wp, max(1, 512 // h))
-    while wp % wc or (h * wc) % _LANE:
-        wc += 1
-        if wc >= wp:
-            return wp
-    return wc
-
-
-def _e_small(wc: int, h: int, dtype) -> jax.Array:
-    """0/1 expansion block: E[x, x*h + y] = 1 (x < wc)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (wc, wc * h), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (wc, wc * h), 1)
-    return (cols // h == rows).astype(dtype)
-
-
-def _accum_level(acc, get_point, vslab_rows, h, wp, tile_q, n_points,
-                 vdtype, prec):
-    """acc += sum_p hat-bilinear(point_p) @ V for one level, chunked.
-
-    ``get_point(p) -> (xs, ys, aw)`` as [TQ, 1] f32 in texel coordinates;
-    ``vslab_rows(lo, hi) -> [hi-lo, D]`` value rows (x-major layout)."""
-    wc = _chunk_width(h, wp)
-    iox = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_q, wp), 1).astype(jnp.float32)
-    ioy = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_q, h), 1).astype(jnp.float32)
-    e_mat = _e_small(wc, h, jnp.bfloat16 if vdtype == jnp.bfloat16
-                     else jnp.float32)
-
-    wxs, wyrs = [], []
-    for p in range(n_points):
-        xs, ys, aw = get_point(p)
-        wxs.append(_hat(iox - xs))
-        wy = _hat(ioy - ys) * aw
-        wyrs.append(pltpu.repeat(wy, wc, 1))  # [TQ, wc*h]
-
-    for g in range(wp // wc):
-        A = None
-        for p in range(n_points):
-            wxe = jnp.dot(
-                wxs[p][:, g * wc:(g + 1) * wc].astype(e_mat.dtype), e_mat,
-                preferred_element_type=jnp.float32,
-            )  # [TQ, wc*h]
-            contrib = wxe * wyrs[p]
-            A = contrib if A is None else A + contrib
-        v = vslab_rows(g * wc * h, (g + 1) * wc * h)
-        delta = jnp.dot(
-            A.astype(vdtype), v,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        acc = delta if acc is None else acc + delta
-    return acc
-
-
-def _kernel_mi(slab_ref, delta_ref, *refs, level_shapes, n_points, n_img,
+def _kernel_mi(occ_ref, slab_ref, delta_ref, *refs, metas, n_points, n_img,
                tile_q):
-    """All images x all levels in one grid cell."""
-    L = len(level_shapes)
+    """All images x all levels x occupied row chunks in one grid cell."""
+    L = len(metas)
+    P = n_points
     value_refs = refs[:L]
     out_ref = refs[-1]
     slab = slab_ref[0, 0, :, :]
     vdtype = value_refs[0].dtype
     prec = (jax.lax.Precision.HIGHEST if vdtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
+    D = value_refs[0].shape[3]
+    out_ref[0, 0, :, :] = jnp.zeros((tile_q, D), jnp.float32)
 
-    acc = None
     for n in range(n_img):
-        for lid, (h, w) in enumerate(level_shapes):
-            wp = _padded_cols(h, w)[0]
-            hwp = h * wp
-            vmat = value_refs[lid]
+        bit = 0
+        for lid, m in enumerate(metas):
+            vref = value_refs[lid]
+            for g in range(m.G):
+                w_i, b_i = divmod(bit, _WORD_BITS)
+                cond = ((occ_ref[0, 0, 0, n, w_i] >> b_i) & 1) == 1
 
-            def get_point(p, n=n, lid=lid):
-                j = (lid * n_points + p) * 3
-                xs = slab[:, j:j + 1] + delta_ref[0, 0, n, j]
-                ys = slab[:, j + 1:j + 2] + delta_ref[0, 0, n, j + 1]
-                aw = slab[:, j + 2:j + 3] * delta_ref[0, 0, n, j + 2]
-                return xs, ys, aw
+                @pl.when(cond)
+                def _(n=n, lid=lid, g=g, m=m, vref=vref):
+                    f = jax.lax.broadcasted_iota(
+                        jnp.int32, (tile_q, m.chunk), 1)
+                    iox = (f % m.wp).astype(jnp.float32)
+                    ioy = (f // m.wp).astype(jnp.float32) + float(g * m.hc)
+                    A = None
+                    for p in range(P):
+                        j = (lid * P + p) * 3
+                        xs = slab[:, j:j + 1] + delta_ref[0, 0, n, j]
+                        ys = slab[:, j + 1:j + 2] + delta_ref[0, 0, n, j + 1]
+                        aw = slab[:, j + 2:j + 3] * delta_ref[0, 0, n, j + 2]
+                        contrib = _hat(iox - xs) * (_hat(ioy - ys) * aw)
+                        A = contrib if A is None else A + contrib
+                    lo = n * m.hwp + g * m.chunk
+                    rows = vref[0, 0, lo:lo + m.chunk, :]
+                    out_ref[0, 0, :, :] += jnp.dot(
+                        A.astype(vdtype), rows,
+                        preferred_element_type=jnp.float32, precision=prec,
+                    )
 
-            def vslab_rows(lo, hi, vmat=vmat, n=n, hwp=hwp):
-                return vmat[0, 0, n * hwp + lo:n * hwp + hi, :]
+                bit += 1
 
-            acc = _accum_level(
-                acc, get_point, vslab_rows, h, wp, tile_q, n_points,
-                vdtype, prec,
-            )
-    out_ref[0, 0, :, :] = acc
+
+def _occupancy_mi(slab, delta, metas, n_points, tile_q):
+    """[B, H, T, n_img, n_words] int32 occupancy bits per (level, chunk).
+
+    Conservative-exact: per point the tile's ``ys`` interval (min/max over
+    its queries) is shifted by the image's ``dy``; a chunk is marked iff
+    some point's shifted interval meets the open hat-support window and
+    both weight factors are nonzero."""
+    B, H, Qp, lanes = slab.shape
+    T = Qp // tile_q
+    P = n_points
+    s = slab.reshape(B, H, T, tile_q, lanes)
+    ys_q = s[..., 1::3]  # [B, H, T, TQ, L*P]
+    wq = s[..., 2::3]
+    # padded queries carry wq == 0; exclude them from the interval
+    neg, pos = jnp.float32(-1e9), jnp.float32(1e9)
+    ys_lo = jnp.min(jnp.where(wq != 0, ys_q, pos), axis=3)  # [B, H, T, L*P]
+    ys_hi = jnp.max(jnp.where(wq != 0, ys_q, neg), axis=3)
+    dy = delta[..., 1::3]  # [B, H, n_img, L*P]
+    wi = delta[..., 2::3]
+    lo_n = ys_lo[:, :, :, None, :] + dy[:, :, None]  # [B, H, T, n_img, L*P]
+    hi_n = ys_hi[:, :, :, None, :] + dy[:, :, None]
+    live = (wi != 0)[:, :, None]
+
+    words, cur, nb = [], 0, 0
+    for lid, m in enumerate(metas):
+        sl = slice(lid * P, (lid + 1) * P)
+        for g in range(m.G):
+            lo, hi = g * m.hc, (g + 1) * m.hc
+            occ = (
+                (hi_n[..., sl] > lo - 1.0)
+                & (lo_n[..., sl] < float(hi))
+                & live[..., sl]
+            ).any(axis=-1)
+            cur = cur | (occ.astype(jnp.int32) << nb)
+            nb += 1
+            if nb == _WORD_BITS:
+                words.append(cur)
+                cur, nb = 0, 0
+    if nb:
+        words.append(cur)
+    return jnp.stack(words, axis=-1)
 
 
 @functools.partial(
@@ -168,6 +165,7 @@ def mmfs_deform_factorized(
     L = len(level_shapes)
     P = off_q.shape[3]
     assert sum(h * w for h, w in level_shapes) == hw
+    metas = _metas(level_shapes)
 
     q_pad = (-Lq) % tile_q
     Qp = Lq + q_pad
@@ -196,28 +194,33 @@ def mmfs_deform_factorized(
     delta = jnp.stack([dx, dy, wi.astype(jnp.float32)], axis=-1)
     delta = delta.reshape(B, n_img, H, L * P * 3).transpose(0, 2, 1, 3)
 
-    # --- per-level x-major value slabs [B, H, n_img*HWp_l, D]
+    occ = _occupancy_mi(slab, delta, metas, P, tile_q)
+
+    # --- per-level ROW-MAJOR value slabs [B, H, n_img*HWp_l, D]
     val = value.transpose(0, 3, 1, 2, 4)  # [B, H, n_img, hw, D]
     level_vals, start = [], 0
-    for (h_l, w_l) in level_shapes:
-        wp, hwp = _padded_cols(h_l, w_l)
-        v = jax.lax.slice_in_dim(val, start, start + h_l * w_l, axis=3)
-        v = v.reshape(B, H, n_img, h_l, w_l, D).transpose(0, 1, 2, 4, 3, 5)
-        if wp > w_l:
+    for m in metas:
+        v = jax.lax.slice_in_dim(val, start, start + m.h * m.w, axis=3)
+        v = v.reshape(B, H, n_img, m.h, m.w, D)
+        if m.wp > m.w:
             v = jnp.pad(
-                v, ((0, 0), (0, 0), (0, 0), (0, wp - w_l), (0, 0), (0, 0))
+                v, ((0, 0), (0, 0), (0, 0), (0, 0), (0, m.wp - m.w), (0, 0))
             )
-        level_vals.append(v.reshape(B, H, n_img * hwp, D))
-        start += h_l * w_l
+        level_vals.append(v.reshape(B, H, n_img * m.hwp, D))
+        start += m.h * m.w
 
     n_tiles = Qp // tile_q
     out = pl.pallas_call(
         functools.partial(
-            _kernel_mi, level_shapes=tuple(level_shapes), n_points=P,
-            n_img=n_img, tile_q=tile_q,
+            _kernel_mi, metas=metas, n_points=P, n_img=n_img, tile_q=tile_q,
         ),
         grid=(B, H, n_tiles),
         in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, n_img, occ.shape[-1]),
+                lambda b, hh, t: (b, hh, t, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(
                 (1, 1, tile_q, L * P * 3),
                 lambda b, hh, t: (b, hh, t, 0),
@@ -243,6 +246,6 @@ def mmfs_deform_factorized(
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), jnp.float32),
         interpret=interpret,
-    )(slab, delta, *level_vals)
+    )(occ, slab, delta, *level_vals)
     out = out[:, :, :Lq].transpose(0, 2, 1, 3)
     return out.reshape(B, Lq, H * D).astype(value.dtype)
