@@ -231,6 +231,10 @@ def flagship_config(dtype: str = "bfloat16", max_num_images: int = 10,
         image_embed_dim=1024, spatial_shapes=(32, 16, 8),
         mmfs_heads=16, mmfs_points=8, max_num_image_per_seq=50,
         dtype=dtype, remat=True,
+        # 40 layers scanned as 10 identical blocks — compile time and HLO
+        # size are depth-independent (matters through the remote-compile
+        # service and for the sharded-decode jit)
+        scan_layers=True,
     )
     visual = VisualTokenizerConfig(
         encoder=adapter,

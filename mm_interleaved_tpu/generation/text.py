@@ -95,6 +95,14 @@ def extract_vision_values(model, inters) -> Optional[jax.Array]:
     md = inters.get("intermediates", {}).get("mm_decoder")
     if md is None:
         return None
+    if cfg.scan_layers:
+        # nn.scan stacks the sown value over blocks: already the
+        # [n_cross(=n_blocks), B, n_img, hw, d] cache layout
+        try:
+            return md["block"]["layer_0"]["llama_cross_attn"]["attn"][
+                "projected_value"][0]
+        except KeyError:
+            return None
     vals = []
     for i in range(cfg.num_hidden_layers):
         if cfg.has_cross_attn(i):

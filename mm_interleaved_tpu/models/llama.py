@@ -54,6 +54,12 @@ class LlamaConfig:
     # --- runtime
     dtype: str = "float32"  # compute dtype ("bfloat16" on TPU)
     remat: bool = False
+    # scan the layer stack in blocks of ``cross_attention_frequency`` —
+    # HLO size and compile time become depth-independent (the 40-layer
+    # flagship preset compiles like a 4-layer one). Parameters gain a
+    # leading n_blocks axis under 'block/layer_{j}/...'; convert between
+    # layouts with `stack_llama_layers` / `unstack_llama_layers`.
+    scan_layers: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -295,6 +301,60 @@ class LlamaDecoderLayer(nn.Module):
         return residual + h, new_kv
 
 
+def _layer_cls(cfg: LlamaConfig):
+    if cfg.remat:
+        # `causal` is a python bool -> static under remat (index 8
+        # because flax's lifted remat counts the module itself as arg 0)
+        return nn.remat(
+            LlamaDecoderLayer, static_argnums=(8,), prevent_cse=False
+        )
+    return LlamaDecoderLayer
+
+
+class LlamaLayerBlock(nn.Module):
+    """The repeating unit of the decoder stack: one MMFS cross-attention
+    layer (``layer_0``) followed by ``cross_attention_frequency - 1`` plain
+    layers.  Scanned over blocks by :class:`LlamaModel` when
+    ``config.scan_layers``, so the traced/compiled program contains ONE
+    block regardless of depth."""
+
+    config: LlamaConfig
+
+    @nn.compact
+    def __call__(self, h, scanned, shared):
+        cfg = self.config
+        block_kv, vision_value = scanned
+        (positions, attn_mask, vision_hidden_states, cross_attention_mask,
+         cache_length, causal, segment_ids) = shared
+        layer_cls = _layer_cls(cfg)
+        new_ks, new_vs = [], []
+        for j in range(cfg.cross_attention_frequency):
+            cache_kv = None
+            if block_kv is not None:
+                cache_kv = (block_kv[0][j], block_kv[1][j])
+            # has_cross_attn(j) is True exactly for j == 0, matching the
+            # unrolled stack's idx % freq == 0 gate at idx = b * freq + j
+            h, new_kv = layer_cls(cfg, j, name=f"layer_{j}")(
+                h,
+                positions,
+                attn_mask,
+                vision_hidden_states if j == 0 else None,
+                cross_attention_mask if j == 0 else None,
+                cache_kv,
+                cache_length,
+                causal,
+                segment_ids,
+                vision_value if j == 0 else None,
+            )
+            if new_kv is not None:
+                new_ks.append(new_kv[0])
+                new_vs.append(new_kv[1])
+        new_block_kv = (
+            (jnp.stack(new_ks), jnp.stack(new_vs)) if new_ks else None
+        )
+        return h, new_block_kv
+
+
 def _build_positions(attention_mask: jax.Array,
                      prev_valid: Optional[jax.Array] = None) -> jax.Array:
     """Positions = number of valid tokens strictly before each slot
@@ -320,17 +380,27 @@ class LlamaModel(nn.Module):
             dtype=cfg.compute_dtype,
             embedding_init=nn.initializers.normal(stddev=0.02),
         )
-        layer_cls = LlamaDecoderLayer
-        if cfg.remat:
-            # `causal` is a python bool -> static under remat (index 8
-            # because flax's lifted remat counts the module itself as arg 0)
-            layer_cls = nn.remat(
-                LlamaDecoderLayer, static_argnums=(8,), prevent_cse=False
+        if cfg.scan_layers:
+            assert cfg.num_hidden_layers % cfg.cross_attention_frequency == 0, (
+                "scan_layers needs num_hidden_layers divisible by "
+                "cross_attention_frequency",
+                cfg.num_hidden_layers, cfg.cross_attention_frequency,
             )
-        self.layers = [
-            layer_cls(cfg, i, name=f"layers_{i}")
-            for i in range(cfg.num_hidden_layers)
-        ]
+            n_blocks = cfg.num_hidden_layers // cfg.cross_attention_frequency
+            self.block = nn.scan(
+                LlamaLayerBlock,
+                variable_axes={"params": 0, "intermediates": 0},
+                split_rngs={"params": True},
+                in_axes=(0, nn.broadcast),
+                out_axes=0,
+                length=n_blocks,
+            )(cfg, name="block")
+        else:
+            layer_cls = _layer_cls(cfg)
+            self.layers = [
+                layer_cls(cfg, i, name=f"layers_{i}")
+                for i in range(cfg.num_hidden_layers)
+            ]
         self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps)
 
     def embed(self, text_ids: jax.Array) -> jax.Array:
@@ -380,43 +450,100 @@ class LlamaModel(nn.Module):
             cache_length = cache.length
 
         h = inputs_embeds.astype(cfg.compute_dtype)
-        new_ks, new_vs = [], []
-        for i, layer in enumerate(self.layers):
-            cache_kv = None
+        if cfg.scan_layers:
+            freq = cfg.cross_attention_frequency
+            n_blocks = cfg.num_hidden_layers // freq
+            block_kv = None
             if cache is not None:
-                cache_kv = (cache.k[i], cache.v[i])
-            vision_value = None
-            if vision_value_cache is not None and cfg.has_cross_attn(i):
-                vision_value = vision_value_cache[
-                    i // cfg.cross_attention_frequency
-                ]
-            h, new_kv = layer(
-                h,
-                positions,
-                attn_mask,
-                vision_hidden_states,
-                cross_attention_mask,
-                cache_kv,
-                cache_length,
-                causal,
-                segment_ids,
-                vision_value,
+                block_kv = tuple(
+                    x.reshape((n_blocks, freq) + x.shape[1:])
+                    for x in (cache.k, cache.v)
+                )
+            shared = (positions, attn_mask, vision_hidden_states,
+                      cross_attention_mask, cache_length, causal,
+                      segment_ids)
+            h, stacked_kv = self.block(
+                h, (block_kv, vision_value_cache), shared
             )
-            if new_kv is not None:
-                new_ks.append(new_kv[0])
-                new_vs.append(new_kv[1])
+            if stacked_kv is not None:
+                # [n_blocks, freq, ...] -> [n_layers, ...]
+                new_ks, new_vs = (
+                    x.reshape((cfg.num_hidden_layers,) + x.shape[2:])
+                    for x in stacked_kv
+                )
+        else:
+            new_ks, new_vs = [], []
+            for i, layer in enumerate(self.layers):
+                cache_kv = None
+                if cache is not None:
+                    cache_kv = (cache.k[i], cache.v[i])
+                vision_value = None
+                if vision_value_cache is not None and cfg.has_cross_attn(i):
+                    vision_value = vision_value_cache[
+                        i // cfg.cross_attention_frequency
+                    ]
+                h, new_kv = layer(
+                    h,
+                    positions,
+                    attn_mask,
+                    vision_hidden_states,
+                    cross_attention_mask,
+                    cache_kv,
+                    cache_length,
+                    causal,
+                    segment_ids,
+                    vision_value,
+                )
+                if new_kv is not None:
+                    new_ks.append(new_kv[0])
+                    new_vs.append(new_kv[1])
+            if cache is not None:
+                new_ks, new_vs = jnp.stack(new_ks), jnp.stack(new_vs)
 
         h = self.norm(h)
 
         new_cache = None
         if cache is not None:
             new_cache = KVCache(
-                k=_shard_kv(jnp.stack(new_ks)),
-                v=_shard_kv(jnp.stack(new_vs)),
+                k=_shard_kv(new_ks),
+                v=_shard_kv(new_vs),
                 valid=new_valid,
                 length=cache.length + T,
             )
         return h, new_cache
+
+
+def stack_llama_layers(params: dict, num_layers: int, freq: int) -> dict:
+    """Convert an unrolled LlamaModel param (sub)tree — ``layers_{i}/...`` —
+    to the ``scan_layers`` layout: ``block/layer_{j}/...`` with a leading
+    ``n_blocks`` axis on every leaf (layer ``i = b * freq + j`` maps to
+    block ``b``, slot ``j``).  Non-layer entries pass through unchanged."""
+    import numpy as np
+
+    p = dict(params)
+    n_blocks = num_layers // freq
+    assert n_blocks * freq == num_layers, (num_layers, freq)
+    block = {}
+    for j in range(freq):
+        per_block = [p.pop(f"layers_{b * freq + j}") for b in range(n_blocks)]
+        block[f"layer_{j}"] = jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *per_block
+        )
+    p["block"] = block
+    return p
+
+
+def unstack_llama_layers(params: dict, num_layers: int, freq: int) -> dict:
+    """Inverse of :func:`stack_llama_layers`."""
+    p = dict(params)
+    block = p.pop("block")
+    n_blocks = num_layers // freq
+    for j in range(freq):
+        for b in range(n_blocks):
+            p[f"layers_{b * freq + j}"] = jax.tree.map(
+                lambda x: x[b], block[f"layer_{j}"]
+            )
+    return p
 
 
 class TextDecoder(nn.Module):

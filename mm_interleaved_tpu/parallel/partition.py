@@ -63,10 +63,12 @@ def make_mesh(
 
 
 def _fit_spec(spec: P, shape: Tuple[int, ...], mesh: Mesh) -> P:
-    """Drop sharding on axes that don't divide the dimension (or that exceed
-    the rank)."""
-    out = []
-    for i, dim in enumerate(shape):
+    """Right-align ``spec`` to the trailing dims (a `scan_layers` stack adds
+    a leading n_blocks axis that must stay replicated) and drop sharding on
+    axes that don't divide the dimension."""
+    lead = max(0, len(shape) - len(spec))
+    out = [None] * lead
+    for i, dim in enumerate(shape[lead:]):
         ax = spec[i] if i < len(spec) else None
         if ax is None:
             out.append(None)

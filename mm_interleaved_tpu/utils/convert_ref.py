@@ -279,10 +279,18 @@ def convert_mm_interleaved(sd: Dict[str, np.ndarray], model_cfg) -> Dict:
     initialised variables['params'].
     """
     c = model_cfg
+    mm_decoder = convert_llama(
+        sd, c.llm.num_hidden_layers, prefix="mm_decoder.model."
+    )
+    if c.llm.scan_layers:
+        from ..models.llama import stack_llama_layers
+
+        mm_decoder = stack_llama_layers(
+            mm_decoder, c.llm.num_hidden_layers,
+            c.llm.cross_attention_frequency,
+        )
     p: Dict = {
-        "mm_decoder": convert_llama(
-            sd, c.llm.num_hidden_layers, prefix="mm_decoder.model."
-        ),
+        "mm_decoder": mm_decoder,
         "soi_token": np.asarray(sd["soi_token"]).reshape(-1),
         "context_feat_proj": _dense(sd, "context_feat_proj"),
         "visual_tokenizer": convert_visual_tokenizer(

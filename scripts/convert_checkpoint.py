@@ -117,6 +117,13 @@ def build_updates(args, cfg) -> dict:
         llm["embed_tokens"]["embedding"] = _pad_rows(
             llm["embed_tokens"]["embedding"], cfg.llm.vocab_size
         )
+        if cfg.llm.scan_layers:
+            from mm_interleaved_tpu.models.llama import stack_llama_layers
+
+            llm = stack_llama_layers(
+                llm, cfg.llm.num_hidden_layers,
+                cfg.llm.cross_attention_frequency,
+            )
         updates["mm_decoder"] = llm
         lm_head_key = "lm_head.weight"
         if lm_head_key in sd:
