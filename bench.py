@@ -198,6 +198,31 @@ def run_bench():
     decode8_ms_per_tok = 1e3 * t_text8 / (reps * n_decode)
     tokens_per_sec8 = B8 * reps * n_decode / t_text8
 
+    # --- int8 weight-only decode (deployment variant; headline stays bf16)
+    int8_fields = {}
+    if os.environ.get("BENCH_INT8", "1") == "1":
+        try:
+            from mm_interleaved_tpu.ops.quant import quantize_llm_weights
+
+            qvars = jax.jit(quantize_llm_weights)(variables)
+            sync(text_jit(qvars, batch8, key))  # compile
+            t0 = time.time()
+            for i in range(reps):
+                sync(text_jit(
+                    qvars, batch8, jax.random.fold_in(key, 200 + i)
+                ))
+            t_q8 = time.time() - t0
+            int8_fields = {
+                "decode_ms_per_tok_int8": round(
+                    1e3 * t_q8 / (reps * n_decode), 2
+                ),
+                "tokens_per_sec_int8": round(
+                    B8 * reps * n_decode / t_q8, 1
+                ),
+            }
+        except Exception:  # noqa: BLE001 — variant must not sink the bench
+            int8_fields = {}
+
     # --- ceiling estimates (v5e: 197 TFLOP/s bf16, ~819 GB/s HBM).
     # decode is HBM-bound: every step re-reads the bf16 weights once
     n_params = sum(
@@ -226,6 +251,7 @@ def run_bench():
         # chip-ceiling estimates for the throughput decode
         "decode_hbm_util_est": round(hbm_util8, 3),
         "decode_mfu_est": round(mfu8, 3),
+        **int8_fields,
     }
 
 

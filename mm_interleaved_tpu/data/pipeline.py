@@ -156,21 +156,26 @@ def build_interleaved_source(
         if dec_res else ImageTransform(enc_res, random_flip=True)
     )
 
+    num_workers = source_cfg.get("num_workers", 0)
+    img_first_prob = source_cfg.get("img_first_prob", 0.5)
+    sim_threshold = source_cfg.get("sim_threshold", 0.24)
+    max_imgs_per_doc = source_cfg.get("max_imgs_per_doc", 6)
+
     def docs_for_epoch(epoch: int) -> Iterator[Dict]:
+        from .mp_loader import mp_map
+
+        # per-document RNG (seed drawn sequentially by the parent): the
+        # heavy decode/transform step becomes order-independent, so
+        # `num_workers` never changes the stream
         rng = np.random.RandomState(epoch_seed + epoch)
         if kind == "synthetic":
             it = synthetic_doc_stream(
                 tokenizer, special, enc_res, dec_res, epoch_seed + epoch
             )
             n = source_cfg.get("num_samples", 64)
-            for _, doc in zip(range(n), it):
-                s = _doc_to_sample(
-                    doc, tokenizer, special, lambda a, r=None: a,
-                    num_img_token,
-                    source_cfg.get("img_first_prob", 0.5), rng,
-                )
-                if s is not None:
-                    yield s
+            doc_iter = (doc for _, doc in zip(range(n), it))
+            tfm = lambda a, r=None: a  # noqa: E731 — synthetic is pre-made
+            kwargs = {}
         else:
             reader = (read_tar_shard if kind.endswith("tar")
                       else read_jsonl_shard)
@@ -182,15 +187,27 @@ def build_interleaved_source(
                 num_hosts=source_cfg.get("num_hosts", 1),
                 sample_buffer=source_cfg.get("sample_buffer", 1000),
             )
-            for doc in stream.iterate(epoch):
-                s = _doc_to_sample(
-                    doc, tokenizer, special, transform, num_img_token,
-                    source_cfg.get("img_first_prob", 0.5), rng,
-                    sim_threshold=source_cfg.get("sim_threshold", 0.24),
-                    max_imgs_per_doc=source_cfg.get("max_imgs_per_doc", 6),
-                )
-                if s is not None:
-                    yield s
+            doc_iter = stream.iterate(epoch)
+            tfm = transform
+            kwargs = dict(
+                sim_threshold=sim_threshold,
+                max_imgs_per_doc=max_imgs_per_doc,
+            )
+
+        def seeded(docs):
+            for doc in docs:
+                yield doc, rng.randint(1 << 31)
+
+        def to_sample(pair):
+            doc, seed = pair
+            return _doc_to_sample(
+                doc, tokenizer, special, tfm, num_img_token,
+                img_first_prob, np.random.RandomState(seed), **kwargs,
+            )
+
+        for s in mp_map(to_sample, seeded(doc_iter), num_workers):
+            if s is not None:
+                yield s
 
     def packed_for_epoch(epoch: int) -> Iterator[Dict]:
         return pack_sequences(

@@ -110,6 +110,7 @@ class Evaluator:
             "CIDEr": M.cider_d(cands, refs),
             "BLEU4": M.bleu(cands, refs),
             "ROUGE_L": M.rouge_l(cands, refs),
+            "METEOR": M.meteor(cands, refs),
             "num_samples": len(cands),
         }
         self._sink(dataset_name, result)

@@ -28,6 +28,7 @@ import flax.linen as nn
 from flax import struct
 
 from ..ops.attention import dot_product_attention
+from ..ops.quant import QDense
 from ..ops.rmsnorm import rms_norm
 from ..ops.rotary import apply_rotary_embedding, rotary_cos_sin
 from .mmfs import MMFS
@@ -140,12 +141,12 @@ class LlamaMLP(nn.Module):
     def __call__(self, x):
         cfg = self.config
         dtype = cfg.compute_dtype
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=dtype,
-                        name="gate_proj")(x)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=dtype,
-                      name="up_proj")(x)
-        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=dtype,
-                        name="down_proj")(nn.silu(gate) * up)
+        gate = QDense(cfg.intermediate_size, use_bias=False, dtype=dtype,
+                      name="gate_proj")(x)
+        up = QDense(cfg.intermediate_size, use_bias=False, dtype=dtype,
+                    name="up_proj")(x)
+        return QDense(cfg.hidden_size, use_bias=False, dtype=dtype,
+                      name="down_proj")(nn.silu(gate) * up)
 
 
 class RMSNorm(nn.Module):
@@ -178,9 +179,9 @@ class LlamaAttention(nn.Module):
         B, T, _ = x.shape
         n_q, n_kv, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
 
-        q = nn.Dense(n_q * hd, use_bias=False, dtype=dtype, name="q_proj")(x)
-        k = nn.Dense(n_kv * hd, use_bias=False, dtype=dtype, name="k_proj")(x)
-        v = nn.Dense(n_kv * hd, use_bias=False, dtype=dtype, name="v_proj")(x)
+        q = QDense(n_q * hd, use_bias=False, dtype=dtype, name="q_proj")(x)
+        k = QDense(n_kv * hd, use_bias=False, dtype=dtype, name="k_proj")(x)
+        v = QDense(n_kv * hd, use_bias=False, dtype=dtype, name="v_proj")(x)
         q = q.reshape(B, T, n_q, hd)
         k = k.reshape(B, T, n_kv, hd)
         v = v.reshape(B, T, n_kv, hd)
@@ -211,8 +212,8 @@ class LlamaAttention(nn.Module):
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
         )
         out = out.reshape(B, T, n_q * hd)
-        out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=dtype,
-                       name="o_proj")(out)
+        out = QDense(cfg.hidden_size, use_bias=False, dtype=dtype,
+                     name="o_proj")(out)
         return out, new_kv
 
 
@@ -389,7 +390,7 @@ class LlamaModel(nn.Module):
             n_blocks = cfg.num_hidden_layers // cfg.cross_attention_frequency
             self.block = nn.scan(
                 LlamaLayerBlock,
-                variable_axes={"params": 0, "intermediates": 0},
+                variable_axes={"params": 0, "intermediates": 0, "qscale": 0},
                 split_rngs={"params": True},
                 in_axes=(0, nn.broadcast),
                 out_axes=0,
@@ -564,14 +565,14 @@ class TextDecoder(nn.Module):
             b = jnp.zeros(shape, dtype)
             return b.at[self.orig_vocab_size:].set(-100.0)
 
-        logits = nn.Dense(
+        logits = QDense(
             cfg.vocab_size,
             dtype=cfg.compute_dtype,
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=head_bias_init,
             name="head",
         )(hidden_states)
-        logits_new = nn.Dense(
+        logits_new = QDense(
             n_new,
             dtype=cfg.compute_dtype,
             kernel_init=nn.initializers.zeros,

@@ -79,8 +79,10 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         in_ch = x.shape[-1]
+        # stats stay fp32 inside flax; dtype only sets the normalized-output
+        # dtype — bf16 here halves the HBM round-trip between norm and conv
         h = nn.GroupNorm(num_groups=min(self.groups, in_ch), epsilon=1e-5,
-                         name="norm1")(x)
+                         dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
@@ -89,7 +91,7 @@ class ResnetBlock(nn.Module):
         )
         h = h + t[:, None, None, :].astype(h.dtype)
         h = nn.GroupNorm(num_groups=min(self.groups, self.out_ch),
-                         epsilon=1e-5, name="norm2")(h)
+                         epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -145,7 +147,7 @@ class SpatialTransformer(nn.Module):
         B, H, W, C = x.shape
         residual = x
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
-                         name="norm")(x)
+                         dtype=self.dtype, name="norm")(x)
         h = nn.Dense(C, dtype=self.dtype, name="proj_in")(
             h.reshape(B, H * W, C)
         )
@@ -247,6 +249,6 @@ class UNet2DConditionModel(nn.Module):
                             name=f"up_{i}_upsample")(h)
 
         h = nn.GroupNorm(num_groups=c.norm_num_groups, epsilon=1e-5,
-                         name="conv_norm_out")(h)
+                         dtype=dtype, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(c.out_channels, (3, 3), padding=1, name="conv_out")(h)

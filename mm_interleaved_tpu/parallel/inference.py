@@ -81,10 +81,17 @@ class ShardedGenerator:
                                      rng=rng, num_inference_steps=30)
     """
 
-    def __init__(self, model, variables, mesh: Mesh, rules=DEFAULT_RULES):
+    def __init__(self, model, variables, mesh: Mesh, rules=DEFAULT_RULES,
+                 quantize: Optional[str] = None):
         self.model = model
         self.mesh = mesh
         self.rules = rules
+        if quantize == "int8":
+            from ..ops.quant import quantize_llm_weights
+
+            variables = quantize_llm_weights(variables)
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         self.variables = jax.device_put(
             variables, params_shardings(variables, mesh, rules)
         )

@@ -185,6 +185,90 @@ def rouge_l(candidates: List[str], references: List[List[str]],
 
 
 # --------------------------------------------------------------------- #
+# METEOR (exact + stem modules)                                          #
+#                                                                        #
+# The reference scores captions with pycocoevalcap's METEOR 1.5 jar      #
+# (utils/coco_cap_score.py:7), whose synonym/paraphrase stages need      #
+# WordNet + paraphrase data files that cannot be shipped offline.  This  #
+# is the exact+stem variant in nltk's parameterization (alpha=.9,        #
+# beta=3, gamma=.5, greedy stage-wise alignment, max over references,    #
+# mean over the corpus) — tests golden-diff it against nltk's own        #
+# implementation with the synonym stage disabled.                        #
+# --------------------------------------------------------------------- #
+
+def _meteor_stage(h_left, r_left):
+    """One greedy matching stage over enumerated (orig_idx, word) lists —
+    hypothesis scanned END→START, each word paired with the LAST unused
+    reference occurrence (nltk `_match_enums` semantics, so scores
+    golden-diff against nltk exactly)."""
+    from collections import defaultdict
+
+    ref_positions = defaultdict(list)
+    for j, (_, rw) in enumerate(r_left):
+        ref_positions[rw].append(j)
+    matches, used_h, used_r = [], set(), set()
+    for i in range(len(h_left))[::-1]:
+        positions = ref_positions.get(h_left[i][1])
+        if positions:
+            j = positions.pop()
+            used_h.add(i)
+            used_r.add(j)
+            matches.append((h_left[i][0], r_left[j][0]))
+    h_left = [p for i, p in enumerate(h_left) if i not in used_h]
+    r_left = [p for j, p in enumerate(r_left) if j not in used_r]
+    return matches, h_left, r_left
+
+
+def _meteor_align(hyp: List[str], ref: List[str]):
+    """Stage-wise unigram alignment (exact, then Porter stems): returns
+    (hyp_idx, ref_idx) matches sorted by hypothesis index."""
+    from nltk.stem.porter import PorterStemmer
+
+    stemmer = PorterStemmer()
+    exact, h_left, r_left = _meteor_stage(
+        list(enumerate(hyp)), list(enumerate(ref))
+    )
+    stem, _, _ = _meteor_stage(
+        [(i, stemmer.stem(w)) for i, w in h_left],
+        [(i, stemmer.stem(w)) for i, w in r_left],
+    )
+    return sorted(exact + stem)
+
+
+def _meteor_chunks(matches) -> int:
+    m = sorted(matches)
+    if not m:
+        return 0
+    chunks = 1
+    for (h0, r0), (h1, r1) in zip(m, m[1:]):
+        if h1 != h0 + 1 or r1 != r0 + 1:
+            chunks += 1
+    return chunks
+
+
+def meteor(candidates: List[str], references: List[List[str]],
+           alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5
+           ) -> float:
+    assert len(candidates) == len(references)
+    scores = []
+    for cand, refs in zip(candidates, references):
+        ct = ptb_tokenize(cand.lower())
+        best = 0.0
+        for r in refs:
+            rt = ptb_tokenize(r.lower())
+            matches = _meteor_align(ct, rt)
+            m = len(matches)
+            if m == 0 or not ct or not rt:
+                continue
+            p, rec = m / len(ct), m / len(rt)
+            fmean = p * rec / (alpha * p + (1 - alpha) * rec)
+            frag = _meteor_chunks(matches) / m
+            best = max(best, fmean * (1.0 - gamma * frag ** beta))
+        scores.append(best)
+    return float(np.mean(scores)) if scores else 0.0
+
+
+# --------------------------------------------------------------------- #
 # CIDEr-D                                                                #
 # --------------------------------------------------------------------- #
 

@@ -172,3 +172,50 @@ def test_rouge_l_golden():
                                rtol=1e-12)
     assert rouge_l(["a b c"], [["a b c"]]) == 1.0
     assert rouge_l(["x y"], [["a b"]]) == 0.0
+
+
+def test_meteor_matches_nltk_exact_stem():
+    """Our METEOR (exact+stem) must equal nltk's single_meteor_score with
+    the synonym stage disabled (empty-synset wordnet stub) on identical
+    token streams — same greedy alignment, chunking and parameters."""
+    from nltk.translate.meteor_score import single_meteor_score
+
+    from mm_interleaved_tpu.utils.metrics import meteor, ptb_tokenize
+
+    class _NoSynonyms:
+        @staticmethod
+        def synsets(word):
+            return []
+
+    cases = [
+        ("the cat sat on the mat", ["a cat sat on a mat", "the cat is sitting"]),
+        ("dogs are running quickly through fields",
+         ["a dog runs quick through the field"]),
+        ("it is a guide to action which ensures that the military always "
+         "obeys the commands of the party",
+         ["it is a guide to action that ensures that the military will "
+          "forever heed party commands"]),
+        ("completely unrelated words here", ["nothing matches at all's"]),
+        ("repeat repeat repeat word", ["repeat word repeat again"]),
+    ]
+    for cand, refs in cases:
+        expected = max(
+            single_meteor_score(
+                ptb_tokenize(r.lower()), ptb_tokenize(cand.lower()),
+                wordnet=_NoSynonyms(),
+            )
+            for r in refs
+        )
+        ours = meteor([cand], [refs])
+        np.testing.assert_allclose(ours, expected, rtol=1e-12, err_msg=cand)
+
+
+def test_meteor_perfect_and_zero():
+    from mm_interleaved_tpu.utils.metrics import meteor
+
+    # identical sentences: p=r=1, one chunk, frag=1/m
+    s = "a man rides a horse"
+    m = 5
+    expected = (1.0) / (0.9 * 1 + 0.1 * 1) * (1 - 0.5 * (1 / m) ** 3)
+    np.testing.assert_allclose(meteor([s], [[s]]), expected, rtol=1e-12)
+    assert meteor(["xyz"], [["abc"]]) == 0.0
