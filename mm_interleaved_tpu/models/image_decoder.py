@@ -55,6 +55,11 @@ class ImageDecoderConfig:
     # batch divides evenly, else whole-batch
     vae_encode_mini_bs: int = 32
     vae_decode_mini_bs: int = 8
+    # inference-decode compute dtype.  The reference's fp32 island guards
+    # against fp16 *overflow*; bf16 keeps fp32's exponent range, so the TPU
+    # decode runs bf16 by default (GroupNorm stats still reduce fp32).
+    # Training (vae encode -> diffusion targets) always stays fp32.
+    vae_decode_dtype: str = "bfloat16"
 
     @property
     def latent_size(self) -> int:
@@ -192,7 +197,9 @@ class ImageDecoder(nn.Module):
         )
 
     def vae_decode(self, latents):
+        dtype = jnp.dtype(self.cfg.vae_decode_dtype)
         image = self._chunked_vae(
-            self.vae.decode, latents, self.cfg.vae_decode_mini_bs
+            lambda z: self.vae.decode(z, dtype), latents,
+            self.cfg.vae_decode_mini_bs,
         )
         return jnp.clip(image * 0.5 + 0.5, 0.0, 1.0)

@@ -22,6 +22,7 @@ import flax.linen as nn
 from einops import rearrange
 
 from ...ops.attention import dot_product_attention
+from ...ops.group_norm import GroupNorm
 from .mmfs_net import MMFSNet, MMFSNetConfig
 
 
@@ -81,8 +82,8 @@ class ResnetBlock(nn.Module):
         in_ch = x.shape[-1]
         # stats stay fp32 inside flax; dtype only sets the normalized-output
         # dtype — bf16 here halves the HBM round-trip between norm and conv
-        h = nn.GroupNorm(num_groups=min(self.groups, in_ch), epsilon=1e-5,
-                         dtype=self.dtype, name="norm1")(x)
+        h = GroupNorm(num_groups=min(self.groups, in_ch), epsilon=1e-5,
+                      dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
@@ -90,8 +91,8 @@ class ResnetBlock(nn.Module):
             nn.silu(temb)
         )
         h = h + t[:, None, None, :].astype(h.dtype)
-        h = nn.GroupNorm(num_groups=min(self.groups, self.out_ch),
-                         epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = GroupNorm(num_groups=min(self.groups, self.out_ch),
+                      epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -146,8 +147,8 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context):
         B, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
-                         dtype=self.dtype, name="norm")(x)
+        h = GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                      dtype=self.dtype, name="norm")(x)
         h = nn.Dense(C, dtype=self.dtype, name="proj_in")(
             h.reshape(B, H * W, C)
         )
@@ -248,7 +249,7 @@ class UNet2DConditionModel(nn.Module):
                 h = nn.Conv(C, (3, 3), padding=1, dtype=dtype,
                             name=f"up_{i}_upsample")(h)
 
-        h = nn.GroupNorm(num_groups=c.norm_num_groups, epsilon=1e-5,
-                         dtype=dtype, name="conv_norm_out")(h)
+        h = GroupNorm(num_groups=c.norm_num_groups, epsilon=1e-5,
+                      dtype=dtype, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(c.out_channels, (3, 3), padding=1, name="conv_out")(h)

@@ -2,8 +2,13 @@
 
 Replaces diffusers' `AutoencoderKL` used by the reference
 (`decoders/sd.py:52-58`, fp32 encode at `:220-238`, fp32 decode at
-`:212-215`).  The VAE always computes in fp32 (an explicit "fp32 island" in
-the bf16 world — matches the reference's `.float()` casts).
+`:212-215`).  The reference's fp32 islands exist because fp16 *overflows*
+in the VAE; bf16 has fp32's exponent range, so on TPU the decode path may
+run bf16 safely (a deliberate TPU-native deviation — GroupNorm statistics
+still reduce in fp32 inside flax).  ``encode``/``decode`` take a call-time
+``dtype`` defaulting to fp32, so training and all torch-oracle parity
+tests keep the reference's exact fp32 semantics; only the inference decode
+(`ImageDecoderConfig.vae_decode_dtype`) opts into bf16.
 """
 
 from __future__ import annotations
@@ -14,6 +19,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+from ...ops.group_norm import GroupNorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -27,8 +34,8 @@ class VAEConfig:
     scaling_factor: float = 0.18215
 
 
-def _gn(groups, name=None):
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name)
+def _gn(groups, name=None, dtype=jnp.float32):
+    return GroupNorm(num_groups=groups, epsilon=1e-6, name=name, dtype=dtype)
 
 
 class ResnetBlock(nn.Module):
@@ -36,60 +43,64 @@ class ResnetBlock(nn.Module):
     groups: int = 32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, dtype=jnp.float32):
         in_ch = x.shape[-1]
-        h = _gn(min(self.groups, in_ch), "norm1")(x)
+        h = _gn(min(self.groups, in_ch), "norm1", dtype)(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv1")(h)
-        h = _gn(min(self.groups, self.out_ch), "norm2")(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=dtype,
+                    name="conv1")(h)
+        h = _gn(min(self.groups, self.out_ch), "norm2", dtype)(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv2")(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=dtype,
+                    name="conv2")(h)
         if in_ch != self.out_ch:
-            x = nn.Conv(self.out_ch, (1, 1), name="conv_shortcut")(x)
-        return x + h
+            x = nn.Conv(self.out_ch, (1, 1), dtype=dtype,
+                        name="conv_shortcut")(x)
+        return x.astype(h.dtype) + h
 
 
 class AttnBlock(nn.Module):
     groups: int = 32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, dtype=jnp.float32):
         B, H, W, C = x.shape
-        h = _gn(min(self.groups, C), "group_norm")(x).reshape(B, H * W, C)
-        q = nn.Dense(C, name="to_q")(h)
-        k = nn.Dense(C, name="to_k")(h)
-        v = nn.Dense(C, name="to_v")(h)
+        h = _gn(min(self.groups, C), "group_norm", dtype)(x) \
+            .reshape(B, H * W, C)
+        q = nn.Dense(C, dtype=dtype, name="to_q")(h)
+        k = nn.Dense(C, dtype=dtype, name="to_k")(h)
+        v = nn.Dense(C, dtype=dtype, name="to_v")(h)
         attn = jax.nn.softmax(
             jnp.einsum("bqc,bkc->bqk", q, k,
                        preferred_element_type=jnp.float32) * (C ** -0.5),
             axis=-1,
         )
         h = jnp.einsum("bqk,bkc->bqc", attn.astype(v.dtype), v)
-        h = nn.Dense(C, name="to_out")(h).reshape(B, H, W, C)
-        return x + h
+        h = nn.Dense(C, dtype=dtype, name="to_out")(h).reshape(B, H, W, C)
+        return x.astype(h.dtype) + h
 
 
 class Encoder(nn.Module):
     cfg: VAEConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, dtype=jnp.float32):
         c = self.cfg
-        h = nn.Conv(c.block_out_channels[0], (3, 3), padding=1,
-                    name="conv_in")(x)
+        h = nn.Conv(c.block_out_channels[0], (3, 3), padding=1, dtype=dtype,
+                    name="conv_in")(x.astype(dtype))
         for i, ch in enumerate(c.block_out_channels):
             for j in range(c.layers_per_block):
                 h = ResnetBlock(ch, c.norm_num_groups,
-                                name=f"down_{i}_res_{j}")(h)
+                                name=f"down_{i}_res_{j}")(h, dtype)
             if i != len(c.block_out_channels) - 1:
                 h = nn.Conv(ch, (3, 3), strides=(2, 2),
-                            padding=((0, 1), (0, 1)),
+                            padding=((0, 1), (0, 1)), dtype=dtype,
                             name=f"down_{i}_downsample")(h)
         ch = c.block_out_channels[-1]
-        h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_0")(h)
-        h = AttnBlock(c.norm_num_groups, name="mid_attn")(h)
-        h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_1")(h)
-        h = _gn(c.norm_num_groups, "conv_norm_out")(h)
+        h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_0")(h, dtype)
+        h = AttnBlock(c.norm_num_groups, name="mid_attn")(h, dtype)
+        h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_1")(h, dtype)
+        h = _gn(c.norm_num_groups, "conv_norm_out", dtype)(h)
         h = nn.silu(h)
         return nn.Conv(2 * c.latent_channels, (3, 3), padding=1,
                        name="conv_out")(h)
@@ -99,23 +110,28 @@ class Decoder(nn.Module):
     cfg: VAEConfig
 
     @nn.compact
-    def __call__(self, z):
+    def __call__(self, z, dtype=jnp.float32):
         c = self.cfg
         ch = c.block_out_channels[-1]
-        h = nn.Conv(ch, (3, 3), padding=1, name="conv_in")(z)
-        h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_0")(h)
-        h = AttnBlock(c.norm_num_groups, name="mid_attn")(h)
-        h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_1")(h)
+        h = nn.Conv(ch, (3, 3), padding=1, dtype=dtype,
+                    name="conv_in")(z.astype(dtype))
+        h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_0")(h, dtype)
+        h = AttnBlock(c.norm_num_groups, name="mid_attn")(h, dtype)
+        h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_1")(h, dtype)
         for i, ch in enumerate(reversed(c.block_out_channels)):
             for j in range(c.layers_per_block + 1):
                 h = ResnetBlock(ch, c.norm_num_groups,
-                                name=f"up_{i}_res_{j}")(h)
+                                name=f"up_{i}_res_{j}")(h, dtype)
             if i != len(c.block_out_channels) - 1:
                 B, H, W, C = h.shape
-                h = jax.image.resize(h, (B, 2 * H, 2 * W, C), "nearest")
-                h = nn.Conv(C, (3, 3), padding=1,
+                # x2 nearest upsample as a reshape-broadcast (stays a copy in
+                # XLA; jax.image.resize lowers to a gather)
+                h = jnp.broadcast_to(
+                    h[:, :, None, :, None, :], (B, H, 2, W, 2, C)
+                ).reshape(B, 2 * H, 2 * W, C)
+                h = nn.Conv(C, (3, 3), padding=1, dtype=dtype,
                             name=f"up_{i}_upsample")(h)
-        h = _gn(c.norm_num_groups, "conv_norm_out")(h)
+        h = _gn(c.norm_num_groups, "conv_norm_out", dtype)(h)
         h = nn.silu(h)
         return nn.Conv(c.out_channels, (3, 3), padding=1, name="conv_out")(h)
 
@@ -129,10 +145,13 @@ class AutoencoderKL(nn.Module):
         self.quant_conv = nn.Conv(2 * self.cfg.latent_channels, (1, 1))
         self.post_quant_conv = nn.Conv(self.cfg.latent_channels, (1, 1))
 
-    def encode(self, x: jax.Array, rng=None, sample: bool = True):
+    def encode(self, x: jax.Array, rng=None, sample: bool = True,
+               dtype=jnp.float32):
         """x in [-1, 1] NHWC fp32 -> latents scaled by scaling_factor."""
         x = x.astype(jnp.float32)
-        moments = self.quant_conv(self.encoder(x))
+        moments = self.quant_conv(
+            self.encoder(x, dtype).astype(jnp.float32)
+        )
         mean, logvar = jnp.split(moments, 2, axis=-1)
         if sample:
             assert rng is not None
@@ -144,9 +163,10 @@ class AutoencoderKL(nn.Module):
             z = mean
         return z * self.cfg.scaling_factor
 
-    def decode(self, z: jax.Array):
+    def decode(self, z: jax.Array, dtype=jnp.float32):
         z = z.astype(jnp.float32) / self.cfg.scaling_factor
-        return self.decoder(self.post_quant_conv(z))
+        return self.decoder(self.post_quant_conv(z), dtype) \
+            .astype(jnp.float32)
 
     def __call__(self, x, rng=None):
         z = self.encode(x, rng=rng, sample=rng is not None)
