@@ -26,6 +26,8 @@ from mm_interleaved_tpu.models.sd.unet import (
 )
 
 SHORT, LONG = 2, 6
+import os
+SECTIONS = set(os.environ.get("PROBE_SECTIONS", "full,attn,res,blocks").split(","))
 TRIALS = 3
 B = 4  # bench batch 2 with CFG
 
@@ -87,16 +89,19 @@ v = jax.tree_util.tree_map(
     lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, v
 )
 
-full = timeit_unet(model.apply, v, x, t, ctx)
-print(f"full UNet step (B={B} CFG, 64px latent): {full:6.2f} ms", flush=True)
+full = None
+if "full" in SECTIONS or "attn" in SECTIONS or "res" in SECTIONS:
+    full = timeit_unet(model.apply, v, x, t, ctx)
+    print(f"full UNet step (B={B} CFG, 64px latent): {full:6.2f} ms", flush=True)
 
 # --- ablation: strip SpatialTransformers
-_orig_st = unet_mod.SpatialTransformer.__call__
-unet_mod.SpatialTransformer.__call__ = lambda self, x, context: x
-no_attn = timeit_unet(model.apply, v, x, t, ctx)
-print(f"  attention stripped: {no_attn:6.2f} ms "
-      f"(attn total ~{full - no_attn:5.2f} ms)", flush=True)
-unet_mod.SpatialTransformer.__call__ = _orig_st
+if "attn" in SECTIONS:
+    _orig_st = unet_mod.SpatialTransformer.__call__
+    unet_mod.SpatialTransformer.__call__ = lambda self, x, context: x
+    no_attn = timeit_unet(model.apply, v, x, t, ctx)
+    print(f"  attention stripped: {no_attn:6.2f} ms "
+          f"(attn total ~{full - no_attn:5.2f} ms)", flush=True)
+    unet_mod.SpatialTransformer.__call__ = _orig_st
 
 # --- ablation: resnets reduced to their convs (no GN/silu/temb)
 _orig_rb = unet_mod.ResnetBlock.__call__
@@ -104,24 +109,38 @@ _orig_rb = unet_mod.ResnetBlock.__call__
 
 def _convs_only(self, x, temb):
     import flax.linen as nn
+    from mm_interleaved_tpu.ops.group_norm import GroupNorm
 
+    in_ch = x.shape[-1]
+    # instantiate the same modules so the param tree matches, but skip the
+    # GN/silu/temb *compute* on the hot tensors
+    GroupNorm(num_groups=min(self.groups, in_ch), epsilon=1e-5,
+              dtype=self.dtype, name="norm1")(x[:1, :1, :1])
     h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                 name="conv1")(x)
+    t = nn.Dense(self.out_ch, dtype=self.dtype, name="time_emb_proj")(temb)
+    h = h + t[:, None, None, :].astype(h.dtype) * 0
+    GroupNorm(num_groups=min(self.groups, self.out_ch), epsilon=1e-5,
+              dtype=self.dtype, name="norm2")(h[:1, :1, :1])
     h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                 name="conv2")(h)
-    if x.shape[-1] != self.out_ch:
+    if in_ch != self.out_ch:
         x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
                     name="conv_shortcut")(x)
     return x + h
 
 
-unet_mod.ResnetBlock.__call__ = _convs_only
-res_lean = timeit_unet(model.apply, v, x, t, ctx)
-print(f"  resnet GN/silu/temb stripped: {res_lean:6.2f} ms "
-      f"(res overhead ~{full - res_lean:5.2f} ms)", flush=True)
-unet_mod.ResnetBlock.__call__ = _orig_rb
+if "res" in SECTIONS:
+    import flax.linen as nn
+    unet_mod.ResnetBlock.__call__ = nn.compact(_convs_only)
+    res_lean = timeit_unet(model.apply, v, x, t, ctx)
+    print(f"  resnet GN/silu/temb stripped: {res_lean:6.2f} ms "
+          f"(res overhead ~{full - res_lean:5.2f} ms)", flush=True)
+    unet_mod.ResnetBlock.__call__ = _orig_rb
 
 # --- single TransformerBlock per scale vs roofline
+if "blocks" not in SECTIONS:
+    sys.exit(0)
 print("=== TransformerBlock per scale (self+cross+GEGLU+LN) ===", flush=True)
 for size, ch in [(64, 320), (32, 640), (16, 1280)]:
     T = size * size
