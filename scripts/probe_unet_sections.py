@@ -103,40 +103,32 @@ if "attn" in SECTIONS:
           f"(attn total ~{full - no_attn:5.2f} ms)", flush=True)
     unet_mod.SpatialTransformer.__call__ = _orig_st
 
-# --- ablation: resnets reduced to their convs (no GN/silu/temb)
-_orig_rb = unet_mod.ResnetBlock.__call__
+# --- single ResnetBlock per scale vs conv roofline (no monkeypatching:
+# standalone blocks, counts below map them back onto the full UNet)
+if "rblocks" in SECTIONS:
+    from mm_interleaved_tpu.models.sd.unet import ResnetBlock
 
-
-def _convs_only(self, x, temb):
-    import flax.linen as nn
-    from mm_interleaved_tpu.ops.group_norm import GroupNorm
-
-    in_ch = x.shape[-1]
-    # instantiate the same modules so the param tree matches, but skip the
-    # GN/silu/temb *compute* on the hot tensors
-    GroupNorm(num_groups=min(self.groups, in_ch), epsilon=1e-5,
-              dtype=self.dtype, name="norm1")(x[:1, :1, :1])
-    h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
-                name="conv1")(x)
-    t = nn.Dense(self.out_ch, dtype=self.dtype, name="time_emb_proj")(temb)
-    h = h + t[:, None, None, :].astype(h.dtype) * 0
-    GroupNorm(num_groups=min(self.groups, self.out_ch), epsilon=1e-5,
-              dtype=self.dtype, name="norm2")(h[:1, :1, :1])
-    h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
-                name="conv2")(h)
-    if in_ch != self.out_ch:
-        x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
-                    name="conv_shortcut")(x)
-    return x + h
-
-
-if "res" in SECTIONS:
-    import flax.linen as nn
-    unet_mod.ResnetBlock.__call__ = nn.compact(_convs_only)
-    res_lean = timeit_unet(model.apply, v, x, t, ctx)
-    print(f"  resnet GN/silu/temb stripped: {res_lean:6.2f} ms "
-          f"(res overhead ~{full - res_lean:5.2f} ms)", flush=True)
-    unet_mod.ResnetBlock.__call__ = _orig_rb
+    temb = jnp.asarray(rng.randn(B, 1280).astype(np.float32), jnp.bfloat16)
+    print("=== ResnetBlock per scale (GN+silu+conv3x3 x2+temb) ===",
+          flush=True)
+    # (size, ch, count in full UNet incl. up blocks; channel-changing and
+    # skip-concat blocks approximated by the square case)
+    for size, ch, count in [(64, 320, 5), (32, 640, 5), (16, 1280, 5),
+                            (8, 1280, 7)]:
+        xs = jnp.asarray(
+            rng.randn(B, size, size, ch).astype(np.float32), jnp.bfloat16
+        )
+        blk = ResnetBlock(ch, 32, jnp.bfloat16)
+        bv = blk.init(jax.random.PRNGKey(0), xs, temb)
+        tms = (
+            _chain(lambda y, tb: blk.apply(bv, y, tb), LONG, xs, temb)
+            - _chain(lambda y, tb: blk.apply(bv, y, tb), SHORT, xs, temb)
+        ) / (LONG - SHORT) * 1000
+        fl = 2 * B * size * size * 9 * ch * ch * 2  # two 3x3 convs
+        by = B * size * size * ch * 2 * 8  # ~8 bf16 passes over the map
+        print(f"  {size:3d}px c{ch:5d} x{count}: {tms:6.3f} ms | conv "
+              f"roofline {fl / 197e12 * 1e3:6.3f} ms ({fl/197e9/tms*100:3.0f}"
+              f"%) | hbm {by / 400e9 * 1e3:6.3f} ms", flush=True)
 
 # --- single TransformerBlock per scale vs roofline
 if "blocks" not in SECTIONS:
