@@ -1,8 +1,8 @@
 """Section-level cost split of the full SD-2.1 UNet step at CFG batch.
 
-Times the full `UNet2DConditionModel.apply`, then ablated variants
-(attention stripped / resnets stripped) by monkeypatching the module
-classes — the difference attributes the 64 ms/step budget.  Also times a
+Times the full `UNet2DConditionModel.apply`, then an attention-stripped
+ablation (monkeypatching SpatialTransformer), standalone per-scale
+ResnetBlock timings vs the conv roofline (`rblocks` section), and a
 single full TransformerBlock per scale (self+cross+GEGLU+LN) vs roofline.
 
 Measurement discipline as in probe_unet_parts.py: slope between two
@@ -27,7 +27,8 @@ from mm_interleaved_tpu.models.sd.unet import (
 
 SHORT, LONG = 2, 6
 import os
-SECTIONS = set(os.environ.get("PROBE_SECTIONS", "full,attn,res,blocks").split(","))
+SECTIONS = set(os.environ.get(
+    "PROBE_SECTIONS", "full,attn,rblocks,blocks").split(","))
 TRIALS = 3
 B = 4  # bench batch 2 with CFG
 
@@ -90,7 +91,7 @@ v = jax.tree_util.tree_map(
 )
 
 full = None
-if "full" in SECTIONS or "attn" in SECTIONS or "res" in SECTIONS:
+if "full" in SECTIONS or "attn" in SECTIONS:
     full = timeit_unet(model.apply, v, x, t, ctx)
     print(f"full UNet step (B={B} CFG, 64px latent): {full:6.2f} ms", flush=True)
 

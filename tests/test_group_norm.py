@@ -29,7 +29,9 @@ def test_matches_flax_groupnorm(shape, groups, eps):
 
     ours = GroupNorm(num_groups=groups, epsilon=eps)
     theirs = nn.GroupNorm(num_groups=groups, epsilon=eps)
-    v = ours.init(jax.random.PRNGKey(0), x)
+    init_v = ours.init(jax.random.PRNGKey(0), x)
+    assert set(init_v["params"]) == {"scale", "bias"}
+    assert init_v["params"]["scale"].shape == (shape[-1],)
     # same param names/shapes -> same variables load into both modules
     scale = jnp.asarray(rng.rand(shape[-1]).astype(np.float32)) + 0.5
     bias = jnp.asarray(rng.randn(shape[-1]).astype(np.float32))

@@ -124,25 +124,66 @@ def test_sharded_params_actually_sharded(setup):
 
 
 def test_sharded_diffusion_matches_unsharded(setup):
+    """Sharded end-to-end image generation parity.
+
+    Root-caused in round 4: the former 5e-2/5e-3 flakiness was NOT in the
+    sharded denoise loop (pre-VAE latents match unsharded to ~2e-6) but
+    entirely in the **bf16 VAE decode** (`vae_decode_dtype="bfloat16"`,
+    image_decoder.py): the sharded and unsharded programs fuse/reassociate
+    the bf16 conv chain differently, and with bit-identical latent inputs
+    the decoded images already differ by ~1.4e-2 max-abs — ordinary bf16
+    resolution (~0.4% ulp) through ~10 conv+GroupNorm layers, identical
+    whether the latents came from the sharded or unsharded loop.
+
+    So the parity pin runs the same variables through an fp32-decode config
+    (dtype is compute-only; the param tree is unchanged) where GSPMD
+    reassociation is ~1e-6 — a TIGHT end-to-end assertion on the sharded
+    runtime itself — plus a documented bf16-resolution tolerance on the
+    product-default bf16 path.
+    """
+    import dataclasses
+
     from mm_interleaved_tpu.generation.diffusion import generate_images
 
     model, variables, batch = setup
     args = (batch["text_ids"], batch["image_tensors"],
             batch["num_image_per_seq"], batch["attention_mask"])
-    ctx, ctx_mask, mmfs_vals, mmfs_mask = model.apply(
-        variables, *args, method=model.generate_image_inputs,
+    cfg32 = dataclasses.replace(
+        CFG, image_decoder=dataclasses.replace(
+            CFG.image_decoder, vae_decode_dtype="float32"
+        )
     )
-    want = np.asarray(generate_images(
-        model, variables, ctx, ctx_mask, jax.random.PRNGKey(7),
-        mmfs_values=mmfs_vals, mmfs_mask=mmfs_mask,
-        num_inference_steps=2, guidance_scale=3.0,
-    ))
+    model32 = MMInterleaved(cfg32)
+
+    def unsharded(m):
+        ctx, ctx_mask, mmfs_vals, mmfs_mask = m.apply(
+            variables, *args, method=m.generate_image_inputs,
+        )
+        return np.asarray(generate_images(
+            m, variables, ctx, ctx_mask, jax.random.PRNGKey(7),
+            mmfs_values=mmfs_vals, mmfs_mask=mmfs_mask,
+            num_inference_steps=2, guidance_scale=3.0,
+        ))
 
     mesh = make_mesh(data=2, fsdp=2, tensor=2)
-    gen = ShardedGenerator(model, variables, mesh)
-    got = np.asarray(gen.generate_images(
+
+    # tight pin: fp32 VAE decode isolates the sharded runtime from bf16
+    # fusion-order noise
+    want32 = unsharded(model32)
+    got32 = np.asarray(ShardedGenerator(model32, variables, mesh)
+                       .generate_images(
         *args, rng=jax.random.PRNGKey(7),
         num_inference_steps=2, guidance_scale=3.0,
     ))
-    assert got.shape == want.shape
-    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+    assert got32.shape == want32.shape
+    np.testing.assert_allclose(got32, want32, rtol=1e-4, atol=1e-5)
+
+    # product path (bf16 VAE decode): atol = bf16 reassociation envelope on
+    # [0,1] images, measured 1.4e-2 max-abs with identical latents
+    want = unsharded(model)
+    got = np.asarray(ShardedGenerator(model, variables, mesh)
+                     .generate_images(
+        *args, rng=jax.random.PRNGKey(7),
+        num_inference_steps=2, guidance_scale=3.0,
+    ))
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-2)
