@@ -352,6 +352,18 @@ def main():
     variables = load_variables(model, model_cfg, args.checkpoint)
 
     ev_cfg = cfg.get("evaluation", {})
+    # mesh-aware runtime: a `mesh:` stanza (same schema as train.py's,
+    # e.g. {fsdp: 4, tensor: 2}) runs the whole eval model-sharded — the
+    # 13B flagship cannot decode on one chip.  `evaluation.quantize: int8`
+    # additionally switches the LLM to weight-only int8 decode.
+    from mm_interleaved_tpu.parallel.inference import (
+        build_generation_runtime,
+    )
+
+    runtime = build_generation_runtime(
+        model, variables, cfg.get("mesh"),
+        quantize=ev_cfg.get("quantize"),
+    )
     base_eval_cfg = EvalConfig(
         batch_size=ev_cfg.get("batch_size", 8),
         max_new_tokens=ev_cfg.get("max_new_tokens", 30),
@@ -365,7 +377,8 @@ def main():
         output_dir=output_dir,
         max_batches=ev_cfg.get("max_batches"),
     )
-    evaluator = Evaluator(model, variables, tokenizer, base_eval_cfg)
+    evaluator = Evaluator(model, variables, tokenizer, base_eval_cfg,
+                          runtime=runtime)
 
     # CLIP-feature extractor for FID / rerank / i2i similarity, built from
     # the flagship's own visual tokenizer ViT (CLIP-FID variant); an

@@ -47,9 +47,19 @@ def main():
     variables = load_variables(model, model_cfg, args.checkpoint)
 
     inf = cfg.get("inference", {})
+    # mesh-aware runtime (same `mesh:` stanza as train.py/evaluate.py):
+    # runs the multi-turn loop model-sharded for flagship-scale checkpoints
+    from mm_interleaved_tpu.parallel.inference import (
+        build_generation_runtime,
+    )
+
+    runtime = build_generation_runtime(
+        model, variables, cfg.get("mesh"), quantize=inf.get("quantize"),
+    )
     pipe = InterleavedInferencePipeline(
         model, variables, tokenizer,
-        InferenceConfig(
+        runtime=runtime,
+        cfg=InferenceConfig(
             num_iter=inf.get("num_iter", 2),
             start_mode=inf.get("start_mode", "generate_texts"),
             max_new_tokens=inf.get("max_new_tokens", 64),

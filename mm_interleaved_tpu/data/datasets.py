@@ -215,6 +215,10 @@ class ImageTextJsonlDataset:
         )
         return self.transform(img), item["caption"], idx
 
+    def references(self):
+        """index -> reference captions (single-caption jsonl rows)."""
+        return {i: [item["caption"]] for i, item in enumerate(self.items)}
+
 
 def iterate_dataset(dataset, batch_size: int, collator,
                     drop_last: bool = False):

@@ -24,8 +24,7 @@ from typing import Dict, List, Optional
 import jax
 import numpy as np
 
-from ..generation.diffusion import generate_images
-from ..generation.text import TextGenerationConfig, generate_texts
+from ..generation.text import TextGenerationConfig
 from ..utils import metrics as M
 
 
@@ -50,11 +49,17 @@ class EvalConfig:
 
 
 class Evaluator:
-    def __init__(self, model, variables, tokenizer, cfg: EvalConfig):
+    def __init__(self, model, variables, tokenizer, cfg: EvalConfig,
+                 runtime=None):
+        from ..parallel.inference import LocalGenerator
+
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
         self.cfg = cfg
+        # all generation goes through the runtime seam; a ShardedGenerator
+        # here runs the whole eval mesh-sharded (13B flagship path)
+        self.runtime = runtime or LocalGenerator(model, variables)
 
     # ------------------------------------------------------------------ #
 
@@ -76,8 +81,7 @@ class Evaluator:
         return TextGenerationConfig(**base)
 
     def _decode_batch(self, batch, gen_cfg) -> List[str]:
-        tokens = generate_texts(
-            self.model, self.variables,
+        tokens = self.runtime.generate_texts(
             batch["text_ids"], batch["image_tensors"],
             batch["num_image_per_seq"], batch["attention_mask"],
             gen_cfg,
@@ -168,11 +172,11 @@ class Evaluator:
         for bi, batch in enumerate(batches):
             if self.cfg.max_batches and bi >= self.cfg.max_batches:
                 break
-            ctx, ctx_mask, mmfs_vals, mmfs_mask = self.model.apply(
-                self.variables,
-                batch["text_ids"], batch["image_tensors"],
-                batch["num_image_per_seq"], batch["attention_mask"],
-                method=self.model.generate_image_inputs,
+            ctx, ctx_mask, mmfs_vals, mmfs_mask = (
+                self.runtime.generate_image_inputs(
+                    batch["text_ids"], batch["image_tensors"],
+                    batch["num_image_per_seq"], batch["attention_mask"],
+                )
             )
             B = batch["text_ids"].shape[0]
             max_img = batch["image_tensors"].shape[1]
@@ -183,11 +187,10 @@ class Evaluator:
             )
             cands = []
             for c in range(num_candidates):
-                imgs = generate_images(
-                    self.model, self.variables,
+                imgs = self.runtime.denoise(
                     ctx[tgt], ctx_mask[tgt],
+                    mmfs_vals[tgt], mmfs_mask[tgt],
                     jax.random.fold_in(jax.random.fold_in(rng, bi), c),
-                    mmfs_values=mmfs_vals[tgt], mmfs_mask=mmfs_mask[tgt],
                     num_inference_steps=self.cfg.num_inference_steps,
                     guidance_scale=self.cfg.guidance_scale,
                 )
@@ -252,20 +255,19 @@ class Evaluator:
         for bi, batch in enumerate(batches):
             if self.cfg.max_batches and bi >= self.cfg.max_batches:
                 break
-            ctx, ctx_mask, mmfs_vals, mmfs_mask = self.model.apply(
-                self.variables,
-                batch["text_ids"], batch["image_tensors"],
-                batch["num_image_per_seq"], batch["attention_mask"],
-                method=self.model.generate_image_inputs,
+            ctx, ctx_mask, mmfs_vals, mmfs_mask = (
+                self.runtime.generate_image_inputs(
+                    batch["text_ids"], batch["image_tensors"],
+                    batch["num_image_per_seq"], batch["attention_mask"],
+                )
             )
             B = batch["text_ids"].shape[0]
             max_img = batch["image_tensors"].shape[1]
             slot = np.asarray(batch["target_image_slots"])[:, 0]
             tgt = np.arange(B) * max_img + np.maximum(slot, 0)
-            imgs = np.asarray(generate_images(
-                self.model, self.variables, ctx[tgt], ctx_mask[tgt],
+            imgs = np.asarray(self.runtime.denoise(
+                ctx[tgt], ctx_mask[tgt], mmfs_vals[tgt], mmfs_mask[tgt],
                 jax.random.fold_in(rng, bi),
-                mmfs_values=mmfs_vals[tgt], mmfs_mask=mmfs_mask[tgt],
                 num_inference_steps=self.cfg.num_inference_steps,
                 guidance_scale=self.cfg.guidance_scale,
             ))
@@ -320,14 +322,11 @@ class Evaluator:
                          ) -> Dict[str, float]:
         """Option-ranking eval -> NDCG (reference _inner_ranking_loop,
         lmm_trainer.py:1812-1912)."""
-        from ..generation.scores import generate_scores
-
         all_scores, all_rel = [], []
         for bi, batch in enumerate(batches):
             if self.cfg.max_batches and bi >= self.cfg.max_batches:
                 break
-            scores = generate_scores(
-                self.model, self.variables,
+            scores = self.runtime.generate_scores(
                 batch["text_ids"], batch["options_ids"],
                 batch["options_mask"], batch["image_tensors"],
                 batch["num_image_per_seq"], batch["attention_mask"],
@@ -378,17 +377,18 @@ class Evaluator:
                 slot = targets[:, r]
                 if (slot < 0).all():
                     continue
-                ctx, ctx_mask, mmfs_vals, mmfs_mask = self.model.apply(
-                    self.variables, batch["text_ids"], image_tensors,
-                    batch["num_image_per_seq"], batch["attention_mask"],
-                    method=self.model.generate_image_inputs,
+                ctx, ctx_mask, mmfs_vals, mmfs_mask = (
+                    self.runtime.generate_image_inputs(
+                        batch["text_ids"], image_tensors,
+                        batch["num_image_per_seq"],
+                        batch["attention_mask"],
+                    )
                 )
                 flat = np.arange(B) * max_img + np.maximum(slot, 0)
                 rng, rr = jax.random.split(rng)
-                imgs = generate_images(
-                    self.model, self.variables, ctx[flat], ctx_mask[flat],
-                    rr, mmfs_values=mmfs_vals[flat],
-                    mmfs_mask=mmfs_mask[flat],
+                imgs = self.runtime.denoise(
+                    ctx[flat], ctx_mask[flat],
+                    mmfs_vals[flat], mmfs_mask[flat], rr,
                     num_inference_steps=self.cfg.num_inference_steps,
                     guidance_scale=self.cfg.guidance_scale,
                 )

@@ -23,8 +23,7 @@ from typing import Dict, List, Optional
 import numpy as np
 from PIL import Image
 
-from .generation.diffusion import generate_images
-from .generation.text import TextGenerationConfig, generate_texts
+from .generation.text import TextGenerationConfig
 from .data.transforms import DualImageTransform, ImageTransform
 
 
@@ -45,11 +44,16 @@ class InferenceConfig:
 
 class InterleavedInferencePipeline:
     def __init__(self, model, variables, tokenizer,
-                 cfg: InferenceConfig):
+                 cfg: InferenceConfig, runtime=None):
+        from .parallel.inference import LocalGenerator
+
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
         self.cfg = cfg
+        # generation seam: pass a ShardedGenerator to run the multi-turn
+        # loop mesh-sharded (13B flagship)
+        self.runtime = runtime or LocalGenerator(model, variables)
         mcfg = model.cfg
         self.sp = mcfg.special
         self.ntok = mcfg.num_img_token
@@ -150,9 +154,9 @@ class InterleavedInferencePipeline:
                                    self.sp.soi_token_id),
                     pad_token_id=self.sp.pad_token_id,
                 )
-                toks = np.asarray(generate_texts(
-                    self.model, self.variables, batch["text_ids"],
-                    batch["image_tensors"], batch["num_image_per_seq"],
+                toks = np.asarray(self.runtime.generate_texts(
+                    batch["text_ids"], batch["image_tensors"],
+                    batch["num_image_per_seq"],
                     batch["attention_mask"], gen_cfg,
                 ))[0]
                 # strip padding; keep a possible trailing <soi>
@@ -181,17 +185,18 @@ class InterleavedInferencePipeline:
                 else:
                     break  # nothing more to generate
             else:  # generate_images: fill in the most recent placeholder
-                ctx, ctx_mask, mmfs_vals, mmfs_mask = self.model.apply(
-                    self.variables, batch["text_ids"],
-                    batch["image_tensors"], batch["num_image_per_seq"],
-                    batch["attention_mask"],
-                    method=self.model.generate_image_inputs,
+                ctx, ctx_mask, mmfs_vals, mmfs_mask = (
+                    self.runtime.generate_image_inputs(
+                        batch["text_ids"], batch["image_tensors"],
+                        batch["num_image_per_seq"],
+                        batch["attention_mask"],
+                    )
                 )
                 tgt = np.asarray([len(images) - 1], np.int32)
                 rng, r = jax.random.split(rng)
-                img = generate_images(
-                    self.model, self.variables, ctx[tgt], ctx_mask[tgt], r,
-                    mmfs_values=mmfs_vals[tgt], mmfs_mask=mmfs_mask[tgt],
+                img = self.runtime.denoise(
+                    ctx[tgt], ctx_mask[tgt],
+                    mmfs_vals[tgt], mmfs_mask[tgt], r,
                     num_inference_steps=cfg.num_inference_steps,
                     guidance_scale=cfg.guidance_scale,
                 )

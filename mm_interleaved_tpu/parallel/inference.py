@@ -98,14 +98,19 @@ class ShardedGenerator:
         self._jit_text = {}
         self._jit_image = {}
         self._jit_image_inputs = None
+        self._jit_scores = None
 
     # -------------------------------------------------------------- #
 
     def _shard_batch(self, tree):
-        sh = NamedSharding(self.mesh, P(("data", "fsdp")))
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.asarray(x), sh), tree
-        )
+        def put(x):
+            x = jnp.asarray(x)
+            # same drop-nondividing policy as `constrain`: odd eval batch
+            # sizes (dataset tails) fall back to replicated
+            spec = _fit_spec(P(("data", "fsdp")), x.shape, self.mesh)
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return jax.tree_util.tree_map(put, tree)
 
     # -------------------------------------------------------------- #
 
@@ -158,21 +163,16 @@ class ShardedGenerator:
         with generation_mesh(self.mesh):
             return self._jit_image_inputs(self.variables, *batch)
 
-    def generate_images(self, text_ids, image_tensors, num_image_per_seq,
-                        attention_mask=None, rng=None,
-                        num_inference_steps: int = 30,
-                        guidance_scale: float = 3.5, sampler: str = "ddpm"):
+    def denoise(self, ctx, ctx_mask, mmfs_values, mmfs_mask, rng=None,
+                num_inference_steps: int = 30,
+                guidance_scale: float = 3.5, sampler: str = "ddpm"):
+        """Sharded denoise+VAE-decode from precomputed context/mmfs slices
+        (the evaluator selects per-target rows between input prep and
+        sampling, engine/evaluator.py)."""
         from ..generation.diffusion import generate_images
 
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        if attention_mask is None:
-            attention_mask = (
-                text_ids != self.model.cfg.special.pad_token_id
-            ).astype(jnp.int32)
-        ctx, ctx_mask, mmfs_vals, mmfs_mask = self.generate_image_inputs(
-            text_ids, image_tensors, num_image_per_seq, attention_mask
-        )
         key = (num_inference_steps, guidance_scale, sampler)
         if key not in self._jit_image:
             model = self.model
@@ -188,5 +188,142 @@ class ShardedGenerator:
             self._jit_image[key] = jax.jit(fn)
         with generation_mesh(self.mesh):
             return self._jit_image[key](
-                self.variables, ctx, ctx_mask, mmfs_vals, mmfs_mask, rng
+                self.variables, ctx, ctx_mask, mmfs_values, mmfs_mask, rng
             )
+
+    def generate_images(self, text_ids, image_tensors, num_image_per_seq,
+                        attention_mask=None, rng=None,
+                        num_inference_steps: int = 30,
+                        guidance_scale: float = 3.5, sampler: str = "ddpm"):
+        if attention_mask is None:
+            attention_mask = (
+                text_ids != self.model.cfg.special.pad_token_id
+            ).astype(jnp.int32)
+        ctx, ctx_mask, mmfs_vals, mmfs_mask = self.generate_image_inputs(
+            text_ids, image_tensors, num_image_per_seq, attention_mask
+        )
+        return self.denoise(
+            ctx, ctx_mask, mmfs_vals, mmfs_mask, rng,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, sampler=sampler,
+        )
+
+    # -------------------------------------------------------------- #
+
+    def generate_scores(self, text_ids, options_ids, options_mask,
+                        image_tensors, num_image_per_seq, attention_mask):
+        """Sharded option-ranking scores (reference generate_scores,
+        mm_interleaved.py:666-743)."""
+        from ..generation.scores import generate_scores
+
+        if self._jit_scores is None:
+            model = self.model
+
+            def fn(variables, *args):
+                return generate_scores(model, variables, *args)
+
+            self._jit_scores = jax.jit(fn)
+        batch = self._shard_batch(
+            (text_ids, options_ids, options_mask, image_tensors,
+             num_image_per_seq, attention_mask)
+        )
+        with generation_mesh(self.mesh):
+            return self._jit_scores(self.variables, *batch)
+
+
+class LocalGenerator:
+    """Unsharded runtime with the same surface as :class:`ShardedGenerator`
+    — the default `Evaluator` backend on a single chip.  Keeps the
+    evaluator's generation calls behind one seam so a ``mesh:`` stanza in
+    the eval/inference config swaps the whole runtime (the reference has no
+    such seam; its eval is single-GPU HF `.generate()`,
+    `lmm_trainer.py:1379`)."""
+
+    def __init__(self, model, variables, quantize: Optional[str] = None):
+        self.model = model
+        if quantize == "int8":
+            from ..ops.quant import quantize_llm_weights
+
+            variables = quantize_llm_weights(variables)
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        self.variables = variables
+
+    def generate_texts(self, text_ids, image_tensors, num_image_per_seq,
+                       attention_mask=None, cfg=None, rng=None):
+        from ..generation.text import TextGenerationConfig, generate_texts
+
+        return generate_texts(
+            self.model, self.variables, text_ids, image_tensors,
+            num_image_per_seq, attention_mask,
+            cfg or TextGenerationConfig(), rng,
+        )
+
+    def generate_image_inputs(self, text_ids, image_tensors,
+                              num_image_per_seq, attention_mask):
+        return self.model.apply(
+            self.variables, text_ids, image_tensors, num_image_per_seq,
+            attention_mask, method=self.model.generate_image_inputs,
+        )
+
+    def denoise(self, ctx, ctx_mask, mmfs_values, mmfs_mask, rng=None,
+                num_inference_steps: int = 30,
+                guidance_scale: float = 3.5, sampler: str = "ddpm"):
+        from ..generation.diffusion import generate_images
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return generate_images(
+            self.model, self.variables, ctx, ctx_mask, rng,
+            mmfs_values=mmfs_values, mmfs_mask=mmfs_mask,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, sampler=sampler,
+        )
+
+    def generate_images(self, text_ids, image_tensors, num_image_per_seq,
+                        attention_mask=None, rng=None,
+                        num_inference_steps: int = 30,
+                        guidance_scale: float = 3.5, sampler: str = "ddpm"):
+        if attention_mask is None:
+            attention_mask = (
+                text_ids != self.model.cfg.special.pad_token_id
+            ).astype(jnp.int32)
+        ctx, ctx_mask, mmfs_vals, mmfs_mask = self.generate_image_inputs(
+            text_ids, image_tensors, num_image_per_seq, attention_mask
+        )
+        return self.denoise(
+            ctx, ctx_mask, mmfs_vals, mmfs_mask, rng,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, sampler=sampler,
+        )
+
+    def generate_scores(self, text_ids, options_ids, options_mask,
+                        image_tensors, num_image_per_seq, attention_mask):
+        from ..generation.scores import generate_scores
+
+        return generate_scores(
+            self.model, self.variables, text_ids, options_ids, options_mask,
+            image_tensors, num_image_per_seq, attention_mask,
+        )
+
+
+def build_generation_runtime(model, variables, mesh_cfg=None,
+                             quantize: Optional[str] = None,
+                             rules=DEFAULT_RULES):
+    """CLI-facing factory: a ``mesh:`` config stanza (same schema as
+    train.py's, e.g. ``{fsdp: 4, tensor: 2}``) with total size > 1 selects
+    the sharded runtime; otherwise the local one."""
+    from .partition import make_mesh
+
+    mesh_cfg = dict(mesh_cfg or {})
+    if mesh_cfg:
+        mesh = make_mesh(
+            data=mesh_cfg.get("data", 1),
+            fsdp=mesh_cfg.get("fsdp", 1),
+            tensor=mesh_cfg.get("tensor", 1),
+        )
+        if mesh.size > 1:
+            return ShardedGenerator(
+                model, variables, mesh, rules=rules, quantize=quantize
+            )
+    return LocalGenerator(model, variables, quantize=quantize)

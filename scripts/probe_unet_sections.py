@@ -25,8 +25,10 @@ from mm_interleaved_tpu.models.sd.unet import (
     UNetConfig,
 )
 
-SHORT, LONG = 2, 6
 import os
+# sub-ms blocks need long chains to rise above relay dispatch noise
+SHORT = int(os.environ.get("PROBE_SHORT", "2"))
+LONG = int(os.environ.get("PROBE_LONG", "6"))
 SECTIONS = set(os.environ.get(
     "PROBE_SECTIONS", "full,attn,rblocks,blocks").split(","))
 TRIALS = 3
