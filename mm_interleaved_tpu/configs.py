@@ -207,6 +207,9 @@ def _sd21_image_decoder(llm_hidden: int, dtype: str) -> ImageDecoderConfig:
                 max_num_image_per_seq=10, pos_grid_size=64,
             ),
             dtype=dtype,
+            # reference trains with UNet gradient checkpointing on
+            # (sd.py:31-32); fwd-only programs are unaffected
+            remat=True,
         ),
         schedule=DiffusionSchedule(),
         perceiver=PerceiverConfig(

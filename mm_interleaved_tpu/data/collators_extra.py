@@ -185,6 +185,9 @@ class MultiImageCollator:
     seq_len: int = 2048
     max_num_images: int = 6
     mode: str = "train"
+    # pad every batch to ``seq_len`` instead of the batch max: static
+    # shapes so the jitted train step compiles once (TPU training path)
+    pad_to_seq_len: bool = False
 
     def __call__(self, data_list):
         img_block = _image_subseq(self.num_img_token)
@@ -211,7 +214,8 @@ class MultiImageCollator:
             loss_masks.append(lm)
             meta.append((data.get("index", 0),))
         left = self.mode != "train"
-        length = min(self.seq_len, max(len(r) for r in rows))
+        length = (self.seq_len if self.pad_to_seq_len
+                  else min(self.seq_len, max(len(r) for r in rows)))
         ids = np.stack([
             _pad_1d(np.asarray(r, np.int32), length,
                     self.special.pad_token_id, left=left) for r in rows

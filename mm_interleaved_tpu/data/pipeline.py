@@ -222,10 +222,168 @@ def build_interleaved_source(
     return packed_for_epoch
 
 
+class _SyntheticSFTDataset:
+    """Random LLaVA-shaped conversations with pre-transformed images —
+    the data-free smoke/test source for the SFT pipeline."""
+
+    def __init__(self, enc_res: int, dec_res: Optional[int],
+                 num_samples: int = 64, seed: int = 0,
+                 vocab_hi: int = 30000):
+        self.enc_res, self.dec_res = enc_res, dec_res
+        self.n = num_samples
+        self.seed = seed
+        self.vocab_hi = vocab_hi
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(self.seed + idx)
+        n_img = int(rng.randint(1, 3))
+
+        def img():
+            enc = rng.rand(self.enc_res, self.enc_res, 3).astype(np.float32)
+            if self.dec_res is None:
+                return enc
+            return enc, rng.rand(
+                self.dec_res, self.dec_res, 3
+            ).astype(np.float32)
+
+        words = " ".join(
+            f"w{rng.randint(self.vocab_hi)}" for _ in range(rng.randint(4, 12))
+        )
+        return dict(
+            images=[img() for _ in range(n_img)],
+            prompt=("<image>" * n_img) + " " + words,
+            response=" ".join(
+                f"w{rng.randint(self.vocab_hi)}"
+                for _ in range(rng.randint(3, 10))
+            ),
+            index=idx,
+        )
+
+
+class SFTEpochIterable:
+    """Map-style dataset -> RandomMix-compatible per-epoch row stream
+    (``set_epoch`` reshuffles deterministically)."""
+
+    def __init__(self, dataset, seed: int = 0, shuffle: bool = True):
+        self.dataset = dataset
+        self.seed = seed
+        self.shuffle = shuffle
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        for i in order:
+            yield self.dataset[int(i)]
+
+
+class SFTTrainCollator:
+    """MultiImageCollator wrapper for training: splits the (enc, dec) image
+    pairs a DualImageTransform produces, emits ``image_tensors_dec``, and
+    drops host-only ``meta`` so every batch value is device-shippable."""
+
+    def __init__(self, tokenizer, special, num_img_token: int, seq_len: int,
+                 max_num_images: int):
+        from .collators_extra import MultiImageCollator
+
+        self.inner = MultiImageCollator(
+            tokenizer, special, num_img_token=num_img_token, seq_len=seq_len,
+            max_num_images=max_num_images, mode="train", pad_to_seq_len=True,
+        )
+        self.max_num_images = max_num_images
+
+    def __call__(self, rows):
+        from .collators import _stack_images
+
+        enc_rows, dec_lists = [], []
+        for r in rows:
+            pairs = [
+                im if isinstance(im, tuple) else (im, None)
+                for im in r["images"]
+            ]
+            enc_rows.append({**r, "images": [p[0] for p in pairs]})
+            dec_lists.append([p[1] for p in pairs if p[1] is not None])
+        batch = self.inner(enc_rows)
+        batch.pop("meta", None)
+        if dec_lists and len(dec_lists[0]):
+            dec, _ = _stack_images(
+                [np.stack(d) for d in dec_lists], self.max_num_images
+            )
+            batch["image_tensors_dec"] = dec
+        return batch
+
+
+def build_sft_train_iterator(
+    data_cfg: Dict, model_cfg,
+) -> Tuple[Iterator[Dict], Dict]:
+    """SFT training data: LLaVA-style conversation datasets ->
+    MultiImageCollator train batches (reference `sft_datasets.py` +
+    `collator_sft.py`, launched by its SFT stage).  Selected by
+    ``task: sft`` in the data config."""
+    from .datasets_extra import LLaVADataset, WeightedConcatDataset
+
+    tokenizer = load_tokenizer(
+        data_cfg.get("tokenizer_path"),
+        vocab_size=model_cfg.llm.vocab_size,
+    )
+    enc_res = model_cfg.visual.encoder.vit.image_size
+    dec_res = (model_cfg.image_decoder.image_size
+               if model_cfg.image_decoder is not None else None)
+    transform = (
+        DualImageTransform(enc_res, dec_res, random_flip=True)
+        if dec_res else ImageTransform(enc_res, random_flip=True)
+    )
+    sources = data_cfg.get("datasets", [{"name": "synthetic_sft"}])
+    datasets, weights = [], []
+    for s in sources:
+        if s.get("name", "synthetic_sft") == "synthetic_sft":
+            datasets.append(_SyntheticSFTDataset(
+                enc_res, dec_res,
+                num_samples=s.get("num_samples", 64),
+                seed=s.get("seed", 0),
+            ))
+        else:  # llava-style annotation json
+            datasets.append(LLaVADataset(
+                annt_file=s["annt_file"],
+                data_root=s.get("data_root", "."),
+                transform=transform,
+                total_length=s.get("total_length"),
+            ))
+        weights.append(float(s.get("weight", 1.0)))
+    dataset = (
+        datasets[0] if len(datasets) == 1
+        else WeightedConcatDataset(
+            datasets, weights, seed=data_cfg.get("seed", 0)
+        )
+    )
+    rows = SFTEpochIterable(dataset, seed=data_cfg.get("seed", 0))
+    collator = SFTTrainCollator(
+        tokenizer, tokenizer.special,
+        num_img_token=model_cfg.num_img_token,
+        seq_len=model_cfg.seq_len,
+        max_num_images=model_cfg.max_num_images,
+    )
+    it = StatefulTrainIterator(
+        rows, collator, data_cfg.get("per_device_batch_size", 2)
+    )
+    first = next(it)
+    it.restore({"epoch": 0, "offset": 0})
+    return it, first
+
+
 def build_train_iterator(
     data_cfg: Dict, model_cfg,
 ) -> Tuple[Iterator[Dict], Dict]:
     """(endless batch iterator, example batch) for the Trainer."""
+    if data_cfg.get("task") == "sft":
+        return build_sft_train_iterator(data_cfg, model_cfg)
     tokenizer = load_tokenizer(
         data_cfg.get("tokenizer_path"),
         vocab_size=model_cfg.llm.vocab_size,

@@ -287,6 +287,38 @@ class Trainer:
             self._jit_step = jax.jit(step, donate_argnums=(0,))
         return self._jit_step
 
+    def lower_step(self, abstract_variables, abstract_batch):
+        """AOT-lower the jitted train step on ABSTRACT sharded inputs — no
+        weights materialize.  `compiled.memory_analysis()` then gives the
+        exact per-chip byte budget (params + opt state + activations) for a
+        flagship-scale fit check before touching real hardware."""
+        if self.tx is None:
+            self.tx = make_optimizer(
+                self.cfg.optim, abstract_variables["params"]
+            )
+        opt_shapes = jax.eval_shape(
+            self.tx.init, abstract_variables["params"]
+        )
+        state_shapes = TrainState(
+            step=jax.ShapeDtypeStruct((), jnp.int32),
+            params=abstract_variables,
+            opt_state=opt_shapes,
+        )
+        shardings = self.state_shardings(state_shapes)
+        abstract_state = jax.tree.map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            state_shapes, shardings,
+        )
+        bsh = batch_sharding(self.mesh)
+        abstract_batch = {
+            k: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=bsh)
+            for k, v in abstract_batch.items()
+        }
+        step = self._build_step()
+        return jax.jit(step, donate_argnums=(0,)).lower(
+            abstract_state, abstract_batch
+        )
+
     # ------------------------------------------------------------------ #
     # loop                                                                #
     # ------------------------------------------------------------------ #

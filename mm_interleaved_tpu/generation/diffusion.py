@@ -22,29 +22,70 @@ def _decoder(m):
     return m.image_decoder
 
 
-def _extract_mmfs_projections(inters):
-    """Collect the per-block sown value projections from a capture pass,
-    ordered (down_blocks_0..N, mid_block) to match `MMFSNet.__call__`."""
-
-    def find(tree, key):
-        if not isinstance(tree, dict):
-            return None
-        if key in tree:
-            return tree[key]
-        for v in tree.values():
-            hit = find(v, key)
-            if hit is not None:
-                return hit
+def _find_subtree(tree, key):
+    if not isinstance(tree, dict):
         return None
+    if key in tree:
+        return tree[key]
+    for v in tree.values():
+        hit = _find_subtree(v, key)
+        if hit is not None:
+            return hit
+    return None
 
-    net = find(inters, "mmfs_net")
+
+def _extract_mmfs_projections(inters):
+    """Collect the per-block sown value projections, ordered
+    (down_blocks_0..N, mid_block) to match `MMFSNet.__call__`."""
+    net = _find_subtree(inters, "mmfs_net")
     if net is None:
+        # direct MMFSNet apply: block names sit at the top level
+        net = inters
+    if not any(k.startswith("down_blocks_") for k in net):
         return None
     n_down = sum(1 for k in net if k.startswith("down_blocks_"))
     names = [f"down_blocks_{i}" for i in range(n_down)] + ["mid_block"]
     return tuple(
         net[name]["mmfs"]["projected_value"][0] for name in names
     )
+
+
+def compute_mmfs_projections(model, variables, decoder, unet_cfg,
+                             mmfs_values, mmfs_mask):
+    """Per-block MMFS value projections WITHOUT running the UNet.
+
+    The projections (`feat_norm` + `value_proj` of the ViT pyramid,
+    mmfs.py value path) are independent of the UNet queries, so a direct
+    MMFSNet pass with 1x1 dummy query maps computes them at the cost of
+    the projections alone — the old capture pass paid a full UNet forward
+    (~36 ms at 512px CFG) just to reach the sown intermediates."""
+    from ..models.sd.mmfs_net import MMFSNet
+
+    if unet_cfg.mmfs is None or mmfs_values is None:
+        return None
+    params = _find_subtree(variables["params"], "mmfs_net")
+    if params is None:
+        return None
+    chans, sizes = unet_cfg.down_residual_spec()
+    mid_ch = unet_cfg.block_out_channels[-1]
+    net = MMFSNet(
+        unet_cfg.mmfs,
+        residual_channels=chans,
+        residual_sizes=sizes,
+        mid_channel=mid_ch,
+        mid_size=sizes[-1],
+    )
+    B = mmfs_values.shape[0]
+    dtype = unet_cfg.compute_dtype
+    dummy_res = tuple(
+        jnp.zeros((B, 1, 1, ch), dtype) for ch in chans
+    )
+    dummy_mid = jnp.zeros((B, 1, 1, mid_ch), dtype)
+    _, inters = net.apply(
+        {"params": params}, dummy_mid, dummy_res, mmfs_values, mmfs_mask,
+        mutable=["intermediates"],
+    )
+    return _extract_mmfs_projections(inters["intermediates"])
 
 
 def generate_images(
@@ -126,29 +167,26 @@ def _denoise(
     step_rngs = jax.random.split(rng, num_inference_steps)
 
     # hoist the step-invariant MMFS feat_norm + value projections out of the
-    # denoise scan: one capture pass sows each block's projection, the scan
-    # then reuses them (the reference recomputes per step,
-    # sd_mmfs.py:99-120 inside every patched UNet forward)
+    # denoise scan: a direct MMFSNet pass (1x1 dummy queries — projections
+    # are query-independent) computes them once; the scan reuses them (the
+    # reference recomputes per step, sd_mmfs.py:99-120 inside every patched
+    # UNet forward)
     mmfs_projected = None
     if mmfs_in is not None:
-        cap_B = 2 * B if do_cfg else B
-        dummy = jnp.zeros(
-            (cap_B, cfg.latent_size, cfg.latent_size,
-             cfg.vae.latent_channels), jnp.float32,
+        mmfs_projected = compute_mmfs_projections(
+            model, variables, decoder, cfg.unet, mmfs_in, mask_in
         )
-        _, inters = model.apply(
-            variables,
-            dummy,
-            jnp.zeros((cap_B,), jnp.int32),
-            ctx_in,
-            mmfs_in,
-            mask_in,
-            method=lambda m, *a: decoder(m).unet_pred(*a),
-            mutable=["intermediates"],
-        )
-        mmfs_projected = _extract_mmfs_projections(
-            inters["intermediates"]
-        )
+        if mmfs_projected is not None:
+            # 13 blocks x [B_cfg, n_img, hw, d_vp] is the dominant live
+            # buffer of the whole denoise program at flagship scale
+            # (~9 GB replicated at B=8 CFG) — pin batch to the data axes
+            # and the projected channels to `tensor` (the value_proj
+            # column split), mirroring the LLM-side vision value cache
+            # (generation/text.py).
+            mmfs_projected = tuple(
+                constrain(pv, ("data", "fsdp"), None, None, "tensor")
+                for pv in mmfs_projected
+            )
 
     def unet_fn(latents_in, tb):
         return model.apply(

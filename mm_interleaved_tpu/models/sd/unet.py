@@ -22,7 +22,7 @@ import flax.linen as nn
 from einops import rearrange
 
 from ...ops.attention import dot_product_attention
-from ...ops.group_norm import GroupNorm
+from ...ops.group_norm import GroupNorm, GroupNormSiLU
 from .mmfs_net import MMFSNet, MMFSNetConfig
 
 
@@ -38,6 +38,11 @@ class UNetConfig:
     norm_num_groups: int = 32
     mmfs: Optional[MMFSNetConfig] = None
     dtype: str = "float32"
+    # rematerialize each Resnet/SpatialTransformer block in the backward
+    # pass (the reference trains with use_unet_gradient_checkpointing=True,
+    # sd.py:31-32) — at 512px the unstashed conv/attn activations dominate
+    # the train step's peak memory
+    remat: bool = False
 
     @property
     def compute_dtype(self):
@@ -82,18 +87,16 @@ class ResnetBlock(nn.Module):
         in_ch = x.shape[-1]
         # stats stay fp32 inside flax; dtype only sets the normalized-output
         # dtype — bf16 here halves the HBM round-trip between norm and conv
-        h = GroupNorm(num_groups=min(self.groups, in_ch), epsilon=1e-5,
-                      dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=min(self.groups, in_ch), epsilon=1e-5,
+                          dtype=self.dtype, name="norm1")(x)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         t = nn.Dense(self.out_ch, dtype=self.dtype, name="time_emb_proj")(
             nn.silu(temb)
         )
         h = h + t[:, None, None, :].astype(h.dtype)
-        h = GroupNorm(num_groups=min(self.groups, self.out_ch),
-                      epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=min(self.groups, self.out_ch),
+                          epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if in_ch != self.out_ch:
@@ -174,6 +177,8 @@ class UNet2DConditionModel(nn.Module):
         c = self.cfg
         dtype = c.compute_dtype
         n_blocks = len(c.block_out_channels)
+        Res = nn.remat(ResnetBlock) if c.remat else ResnetBlock
+        Attn = nn.remat(SpatialTransformer) if c.remat else SpatialTransformer
 
         temb = timestep_embedding(timesteps, c.block_out_channels[0])
         temb = nn.Dense(c.time_embed_dim, dtype=dtype, name="time_fc1")(
@@ -191,10 +196,10 @@ class UNet2DConditionModel(nn.Module):
         for i, ch in enumerate(c.block_out_channels):
             has_attn = i != n_blocks - 1  # last down block is attention-free
             for j in range(c.layers_per_block):
-                h = ResnetBlock(ch, c.norm_num_groups, dtype,
+                h = Res(ch, c.norm_num_groups, dtype,
                                 name=f"down_{i}_res_{j}")(h, temb)
                 if has_attn:
-                    h = SpatialTransformer(
+                    h = Attn(
                         ch // c.attention_head_dim, c.cross_attention_dim,
                         c.norm_num_groups, dtype,
                         name=f"down_{i}_attn_{j}",
@@ -207,12 +212,12 @@ class UNet2DConditionModel(nn.Module):
 
         # mid
         ch = c.block_out_channels[-1]
-        h = ResnetBlock(ch, c.norm_num_groups, dtype, name="mid_res_0")(h, temb)
-        h = SpatialTransformer(
+        h = Res(ch, c.norm_num_groups, dtype, name="mid_res_0")(h, temb)
+        h = Attn(
             ch // c.attention_head_dim, c.cross_attention_dim,
             c.norm_num_groups, dtype, name="mid_attn",
         )(h, ctx)
-        h = ResnetBlock(ch, c.norm_num_groups, dtype, name="mid_res_1")(h, temb)
+        h = Res(ch, c.norm_num_groups, dtype, name="mid_res_1")(h, temb)
 
         # MMFS residual injection (reference hook sd_unet...py:318-325)
         if c.mmfs is not None and mmfs_values is not None:
@@ -235,21 +240,25 @@ class UNet2DConditionModel(nn.Module):
             for j in range(c.layers_per_block + 1):
                 res = res_stack.pop()
                 h = jnp.concatenate([h, res], axis=-1)
-                h = ResnetBlock(ch, c.norm_num_groups, dtype,
+                h = Res(ch, c.norm_num_groups, dtype,
                                 name=f"up_{i}_res_{j}")(h, temb)
                 if has_attn:
-                    h = SpatialTransformer(
+                    h = Attn(
                         ch // c.attention_head_dim, c.cross_attention_dim,
                         c.norm_num_groups, dtype,
                         name=f"up_{i}_attn_{j}",
                     )(h, ctx)
             if i != n_blocks - 1:
                 B, H, W, C = h.shape
-                h = jax.image.resize(h, (B, 2 * H, 2 * W, C), "nearest")
+                # x2 nearest upsample as a reshape-broadcast (stays a copy
+                # in XLA; jax.image.resize lowers to a gather) — same trick
+                # as the VAE decoder
+                h = jnp.broadcast_to(
+                    h[:, :, None, :, None, :], (B, H, 2, W, 2, C)
+                ).reshape(B, 2 * H, 2 * W, C)
                 h = nn.Conv(C, (3, 3), padding=1, dtype=dtype,
                             name=f"up_{i}_upsample")(h)
 
-        h = GroupNorm(num_groups=c.norm_num_groups, epsilon=1e-5,
-                      dtype=dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=c.norm_num_groups, epsilon=1e-5,
+                          dtype=dtype, name="conv_norm_out")(h)
         return nn.Conv(c.out_channels, (3, 3), padding=1, name="conv_out")(h)

@@ -14,13 +14,13 @@ tests keep the reference's exact fp32 semantics; only the inference decode
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ...ops.group_norm import GroupNorm
+from ...ops.group_norm import GroupNorm, GroupNormSiLU
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,6 +38,14 @@ def _gn(groups, name=None, dtype=jnp.float32):
     return GroupNorm(num_groups=groups, epsilon=1e-6, name=name, dtype=dtype)
 
 
+def _gn_silu(groups, name=None, dtype=jnp.float32):
+    # fused norm+silu sweep (ops.group_norm.group_norm_silu) — XLA stops
+    # fusing the GN->silu->conv pattern and each ResnetBlock pays ~4x its
+    # bandwidth floor at the big-spatial stages (probe_gn_internals.py)
+    return GroupNormSiLU(num_groups=groups, epsilon=1e-6, name=name,
+                         dtype=dtype)
+
+
 class ResnetBlock(nn.Module):
     out_ch: int
     groups: int = 32
@@ -45,12 +53,10 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, dtype=jnp.float32):
         in_ch = x.shape[-1]
-        h = _gn(min(self.groups, in_ch), "norm1", dtype)(x)
-        h = nn.silu(h)
+        h = _gn_silu(min(self.groups, in_ch), "norm1", dtype)(x)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=dtype,
                     name="conv1")(h)
-        h = _gn(min(self.groups, self.out_ch), "norm2", dtype)(h)
-        h = nn.silu(h)
+        h = _gn_silu(min(self.groups, self.out_ch), "norm2", dtype)(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=dtype,
                     name="conv2")(h)
         if in_ch != self.out_ch:
@@ -100,8 +106,7 @@ class Encoder(nn.Module):
         h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_0")(h, dtype)
         h = AttnBlock(c.norm_num_groups, name="mid_attn")(h, dtype)
         h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_1")(h, dtype)
-        h = _gn(c.norm_num_groups, "conv_norm_out", dtype)(h)
-        h = nn.silu(h)
+        h = _gn_silu(c.norm_num_groups, "conv_norm_out", dtype)(h)
         return nn.Conv(2 * c.latent_channels, (3, 3), padding=1,
                        name="conv_out")(h)
 
@@ -110,7 +115,9 @@ class Decoder(nn.Module):
     cfg: VAEConfig
 
     @nn.compact
-    def __call__(self, z, dtype=jnp.float32):
+    def __call__(self, z, dtype=jnp.float32, up_to: Optional[int] = None):
+        """``up_to``: perf-probe early exit — 0 stops after the mid stack,
+        k >= 1 after up-block k-1 (scripts/probe_vae_stages.py)."""
         c = self.cfg
         ch = c.block_out_channels[-1]
         h = nn.Conv(ch, (3, 3), padding=1, dtype=dtype,
@@ -118,6 +125,8 @@ class Decoder(nn.Module):
         h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_0")(h, dtype)
         h = AttnBlock(c.norm_num_groups, name="mid_attn")(h, dtype)
         h = ResnetBlock(ch, c.norm_num_groups, name="mid_res_1")(h, dtype)
+        if up_to == 0:
+            return h
         for i, ch in enumerate(reversed(c.block_out_channels)):
             for j in range(c.layers_per_block + 1):
                 h = ResnetBlock(ch, c.norm_num_groups,
@@ -131,8 +140,9 @@ class Decoder(nn.Module):
                 ).reshape(B, 2 * H, 2 * W, C)
                 h = nn.Conv(C, (3, 3), padding=1, dtype=dtype,
                             name=f"up_{i}_upsample")(h)
-        h = _gn(c.norm_num_groups, "conv_norm_out", dtype)(h)
-        h = nn.silu(h)
+            if up_to == i + 1:
+                return h
+        h = _gn_silu(c.norm_num_groups, "conv_norm_out", dtype)(h)
         return nn.Conv(c.out_channels, (3, 3), padding=1, name="conv_out")(h)
 
 

@@ -72,8 +72,66 @@ def dot_product_attention(
 
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
-    dtype = q.dtype
 
+    # big [B, H, Tq, Tk] fp32 logits (UNet 64px: >5 GB at CFG batch) get
+    # query-chunked: same math, peak memory / n_chunks.  Keeps the XLA
+    # fallback's memory model aligned with the Pallas flash path — the
+    # flagship AOT fit check (tests/test_flagship_aot.py) lowers on the CPU
+    # backend where this fallback IS the compiled program.
+    chunk = _query_chunk(q, k, bias, mask)
+    if chunk:
+        n = q.shape[1] // chunk
+        qs = jnp.moveaxis(
+            q.reshape(q.shape[0], n, chunk, *q.shape[2:]), 1, 0
+        )
+        segs = (
+            jnp.moveaxis(
+                q_segment_ids.reshape(q.shape[0], n, chunk), 1, 0
+            )
+            if q_segment_ids is not None else None
+        )
+
+        def body(i):
+            # helper end-aligns causally using the CHUNK length; shift so
+            # global row i*chunk+r compares as r + offset + (Tk - chunk)
+            # == i*chunk + r + (Tk - Tq_full)
+            return _xla_attention(
+                qs[i], k, v, None, None, causal, scale,
+                segs[i] if segs is not None else None, kv_segment_ids,
+                q_offset=(i + 1) * chunk - q.shape[1],
+            )
+
+        out = jax.lax.map(body, jnp.arange(n))
+        return jnp.moveaxis(out, 0, 1).reshape(q.shape)
+
+    return _xla_attention(
+        q, k, v, bias, mask, causal, scale, q_segment_ids, kv_segment_ids
+    )
+
+
+def _query_chunk(q, k, bias, mask, budget_bytes=1 << 28):
+    """Power-of-two query chunk keeping fp32 logits under ``budget_bytes``;
+    0 = no chunking (small logits, dense bias/mask present, or Tq not
+    chunkable)."""
+    if bias is not None or mask is not None:
+        return 0
+    b, tq, h, _ = q.shape
+    tk = k.shape[1]
+    if b * h * tq * tk * 4 <= budget_bytes:
+        return 0
+    chunk = tq
+    while chunk > 128 and (
+        b * h * chunk * tk * 4 > budget_bytes or tq % chunk
+    ):
+        chunk //= 2
+    if tq % chunk or chunk == tq:
+        return 0
+    return chunk
+
+
+def _xla_attention(q, k, v, bias, mask, causal, scale,
+                   q_segment_ids, kv_segment_ids, q_offset: int = 0):
+    dtype = q.dtype
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )
@@ -85,7 +143,8 @@ def dot_product_attention(
     neg = jnp.finfo(jnp.float32).min
     if causal:
         tq, tk = q.shape[1], k.shape[1]
-        qi = jnp.arange(tq)[:, None] + (tk - tq)
+        # global query index: chunk offset + end-aligned causal shift
+        qi = jnp.arange(tq)[:, None] + q_offset + (tk - tq)
         ki = jnp.arange(tk)[None, :]
         logits = jnp.where(ki <= qi, logits, neg)
     if q_segment_ids is not None:

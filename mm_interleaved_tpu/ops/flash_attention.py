@@ -35,15 +35,14 @@ def flash_attention(
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
 
-    # The Pallas kernel wants lane-aligned head_dim.  ViT-L and the SD UNet
-    # use head_dim 64 (the reference runs them through xformers,
-    # `vit_adapter/xattn.py:70-72`, `decoders/sd.py:64-65`); zero-padding
-    # D -> 128 is exact — padded Q/K columns contribute nothing to QK^T
-    # (scale is already fixed from the true d above) and the padded output
-    # columns are sliced off.  The MXU contracts 128 lanes per pass either
-    # way, so the padding is ~free compared to the XLA fallback's
-    # materialized [T, T] logits.
-    d_pad = (-d) % 128
+    # head_dim handling: the kernel takes D=64 (ViT-L / SD UNet; the
+    # reference runs those through xformers, `vit_adapter/xattn.py:70-72`,
+    # `decoders/sd.py:64-65`) directly — Mosaic reads 64-wide tiles without
+    # an HBM pad copy, measured faster than explicit zero-pad to 128
+    # (1.25 vs 1.43 ms at T=4096; /tmp round-4 attention sweep, PERF.md).
+    # Other sub-128 widths still zero-pad (exact: padded Q/K columns
+    # contribute nothing to QK^T; padded output columns sliced off).
+    d_pad = 0 if d == 64 else (-d) % 128
     if d_pad:
         pad = [(0, 0)] * (q.ndim - 1) + [(0, d_pad)]
         q = jnp.pad(q, pad)
@@ -62,18 +61,29 @@ def flash_attention(
     vt = v.swapaxes(1, 2)
 
     tq, tk = qt.shape[2], kt.shape[2]
+
+    def fit(cap, t):
+        # largest power-of-two block <= cap that divides t
+        b = cap
+        while b > 128 and t % b:
+            b //= 2
+        return min(b, t)
+
+    # forward blocks: bq=1024/bk=2048 won the v5e sweep at T=4096 d=64
+    # (deeper k-loop amortizes the per-block softmax state); backward
+    # blocks stay 512 (dkv/dq hold more live tiles in VMEM)
     blk = BlockSizes(
-        block_q=min(512, tq),
-        block_k_major=min(512, tk),
-        block_k=min(512, tk),
+        block_q=fit(1024, tq),
+        block_k_major=fit(2048, tk),
+        block_k=fit(2048, tk),
         block_b=1,
-        block_q_major_dkv=min(512, tq),
-        block_k_major_dkv=min(512, tk),
-        block_k_dkv=min(512, tk),
-        block_q_dkv=min(512, tq),
-        block_k_major_dq=min(512, tk),
-        block_k_dq=min(512, tk),
-        block_q_dq=min(512, tq),
+        block_q_major_dkv=fit(512, tq),
+        block_k_major_dkv=fit(512, tk),
+        block_k_dkv=fit(512, tk),
+        block_q_dkv=fit(512, tq),
+        block_k_major_dq=fit(512, tk),
+        block_k_dq=fit(512, tk),
+        block_q_dq=fit(512, tq),
     )
     out = pallas_flash(
         qt, kt, vt,

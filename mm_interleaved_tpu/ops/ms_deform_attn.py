@@ -243,21 +243,33 @@ def ms_deform_attn(
 
     small_q = Lq <= SMALL_Q_THRESHOLD
 
-    acc = None
-    start = 0
-    for lid, (h, w) in enumerate(spatial_shapes):
-        value_l = jax.lax.slice_in_dim(value, start, start + h * w, axis=1)
-        if small_q:
-            contrib = _onehot_level(
-                value_l, loc32[:, :, :, lid], w32[:, :, :, lid], h, w
+    def core(value, loc32, w32):
+        acc = None
+        start = 0
+        for lid, (h, w) in enumerate(spatial_shapes):
+            value_l = jax.lax.slice_in_dim(
+                value, start, start + h * w, axis=1
             )
-        else:
-            sampled = _bilinear_gather_one_level(
-                value_l, loc32[:, :, :, lid], h, w
-            )  # [B, Lq, Hh, P, D]
-            contrib = (sampled * w32[:, :, :, lid, :, None]).sum(axis=3)
-        acc = contrib if acc is None else acc + contrib
-        start += h * w
+            if small_q:
+                contrib = _onehot_level(
+                    value_l, loc32[:, :, :, lid], w32[:, :, :, lid], h, w
+                )
+            else:
+                sampled = _bilinear_gather_one_level(
+                    value_l, loc32[:, :, :, lid], h, w
+                )  # [B, Lq, Hh, P, D]
+                contrib = (sampled * w32[:, :, :, lid, :, None]).sum(axis=3)
+            acc = contrib if acc is None else acc + contrib
+            start += h * w
+        return acc
+
+    if not small_q:
+        # autodiff through the gather stashes [B, Lq, H, P, D] per level
+        # per call site — at UNet scale that dominates the train step's
+        # peak memory on the XLA path (the Pallas kernel's custom_vjp
+        # already recomputes); remat trades it for a second gather pass
+        core = jax.checkpoint(core)
+    acc = core(value, loc32, w32)
 
     return rearrange(acc, "b q h d -> b q (h d)").astype(out_dtype)
 

@@ -100,3 +100,59 @@ def test_resize_abs_pos_embed():
     assert out.shape == (64, 16)
     # identity when sizes match
     assert resize_abs_pos_embed(pe, 4, 4) is pe
+
+
+def test_query_chunked_attention_matches_unchunked():
+    """The big-logits query-chunked XLA path (peak-memory bound for the
+    flagship AOT fit check) is numerically identical to the dense path,
+    including end-aligned causal masking and segment ids."""
+    import jax
+
+    from mm_interleaved_tpu.ops import attention as A
+
+    rng = np.random.RandomState(0)
+    B, Tq, Tk, H, D = 2, 512, 512, 2, 8
+    q = jnp.asarray(rng.randn(B, Tq, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, Tk, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, Tk, H, D).astype(np.float32))
+    qseg = jnp.asarray(rng.randint(0, 2, (B, Tq)), jnp.int32)
+    kseg = jnp.asarray(rng.randint(0, 2, (B, Tk)), jnp.int32)
+
+    cases = [dict(), dict(causal=True),
+             dict(causal=True, q_segment_ids=qseg, kv_segment_ids=kseg)]
+    for kw in cases:
+        want = dot_product_attention(q, k, v, allow_pallas=False, **kw)
+        # force chunking by shrinking the logits budget
+        orig = A._query_chunk
+        A._query_chunk = lambda q, k, b, m, budget_bytes=B * H * Tq * Tk: (
+            orig(q, k, b, m, budget_bytes)
+        )
+        try:
+            got = dot_product_attention(q, k, v, allow_pallas=False, **kw)
+        finally:
+            A._query_chunk = orig
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6,
+        )
+
+
+def test_query_chunked_causal_prefix_alignment():
+    """Chunked causal attention with Tk > Tq (prefix KV cache) keeps the
+    end-aligned global row indices."""
+    from mm_interleaved_tpu.ops import attention as A
+
+    rng = np.random.RandomState(1)
+    B, Tq, Tk, H, D = 1, 256, 640, 2, 8
+    q = jnp.asarray(rng.randn(B, Tq, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, Tk, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, Tk, H, D).astype(np.float32))
+    want = dot_product_attention(q, k, v, causal=True, allow_pallas=False)
+    orig = A._query_chunk
+    A._query_chunk = lambda *a, **kw: 128
+    try:
+        got = dot_product_attention(q, k, v, causal=True, allow_pallas=False)
+    finally:
+        A._query_chunk = orig
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6,
+    )

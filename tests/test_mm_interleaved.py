@@ -142,3 +142,58 @@ def test_diffusion_sampler_smoke(model_and_params):
     assert imgs.shape == (2, 16, 16, 3)
     arr = np.asarray(imgs)
     assert np.isfinite(arr).all() and arr.min() >= 0 and arr.max() <= 1
+
+
+def test_direct_mmfs_projections_match_capture_pass(model_and_params):
+    """`compute_mmfs_projections` (direct MMFSNet pass with 1x1 dummy
+    queries) must reproduce the projections a full UNet capture pass sows —
+    the denoise loop hoists them assuming query-independence."""
+    import jax.numpy as jnp
+
+    from mm_interleaved_tpu.generation.diffusion import (
+        _extract_mmfs_projections,
+        compute_mmfs_projections,
+    )
+
+    model, params, batch = model_and_params
+    _, _, mmfs_vals, mmfs_mask = model.apply(
+        params,
+        batch["text_ids"],
+        batch["image_tensors"],
+        batch["num_image_per_seq"],
+        batch["attention_mask"],
+        method=model.generate_image_inputs,
+    )
+    # mark one image valid so the mask path is non-trivial
+    mmfs_mask = mmfs_mask.at[0, 0].set(1)
+    dcfg = model.cfg.image_decoder
+
+    direct = compute_mmfs_projections(
+        model, params, lambda m: m.image_decoder, dcfg.unet,
+        mmfs_vals, mmfs_mask,
+    )
+    n_down = len(dcfg.unet.down_residual_spec()[0])
+    assert direct is not None and len(direct) == n_down + 1  # down + mid
+
+    B = mmfs_vals.shape[0]
+    dummy = jnp.zeros(
+        (B, dcfg.latent_size, dcfg.latent_size,
+         dcfg.vae.latent_channels), jnp.float32,
+    )
+    ctx = jnp.zeros(
+        (B, dcfg.perceiver.num_queries, dcfg.unet.cross_attention_dim),
+        jnp.float32,
+    )
+    _, inters = model.apply(
+        params, dummy, jnp.zeros((B,), jnp.int32), ctx,
+        mmfs_vals, mmfs_mask,
+        method=lambda m, *a: m.image_decoder.unet_pred(*a),
+        mutable=["intermediates"],
+    )
+    captured = _extract_mmfs_projections(inters["intermediates"])
+    assert len(captured) == len(direct)
+    for d, c in zip(direct, captured):
+        np.testing.assert_allclose(
+            np.asarray(d, np.float32), np.asarray(c, np.float32),
+            rtol=1e-5, atol=1e-6,
+        )

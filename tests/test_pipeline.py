@@ -42,3 +42,57 @@ def test_iterator_is_deterministic():
     b1, b2 = next(it1), next(it2)
     np.testing.assert_array_equal(b1["text_ids"], b2["text_ids"])
     np.testing.assert_allclose(b1["image_tensors"], b2["image_tensors"])
+
+
+def test_sft_train_iterator_shapes_and_step():
+    """`task: sft` routes to the LLaVA-style pipeline (reference
+    sft_datasets.py + collator_sft.py): static-shape train batches with
+    prompt-masked labels, dec images and image loss masks, consumable by
+    the jitted Trainer step."""
+    import jax
+
+    from mm_interleaved_tpu.engine.optim import OptimConfig
+    from mm_interleaved_tpu.engine.trainer import Trainer, TrainerConfig
+    from mm_interleaved_tpu.models.mm_interleaved import MMInterleaved
+
+    data_cfg = dict(
+        task="sft",
+        datasets=[{"name": "synthetic_sft", "num_samples": 24}],
+        # trainer default mesh puts all devices on `data`; batch must divide
+        per_device_batch_size=8,
+        seed=0,
+    )
+    it, example = build_train_iterator(data_cfg, CFG)
+    for _ in range(2):
+        batch = next(it)
+        assert batch["text_ids"].shape == (8, CFG.seq_len)
+        assert batch["attention_mask"].shape == (8, CFG.seq_len)
+        assert batch["image_tensors"].shape[:2] == (8, CFG.max_num_images)
+        assert batch["image_tensors_dec"].shape[2:] == (
+            CFG.image_decoder.image_size, CFG.image_decoder.image_size, 3
+        )
+        assert batch["image_loss_mask"].shape == (8, CFG.max_num_images)
+        assert batch["ignore_prompt_token_offset"].shape == (8,)
+        assert (batch["ignore_prompt_token_offset"] > 0).all()
+        assert "meta" not in batch
+
+    # determinism across rebuilds
+    it2, _ = build_train_iterator(data_cfg, CFG)
+    b1, b2 = next(it), None
+    for _ in range(3):
+        b2 = next(it2)
+    # (different positions — only shape/typing contract must hold)
+    assert set(b1) == set(b2)
+
+    trainer = Trainer(
+        MMInterleaved(CFG),
+        TrainerConfig(
+            optim=OptimConfig(warmup_steps=2, total_steps=10),
+            checkpoint_dir=None,
+        ),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), example)
+    step = trainer.compile_step(state, example)
+    state, metrics = step(state, trainer.shard_batch(example))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "loss_img" in metrics
