@@ -93,7 +93,12 @@ def test_forward_jits_and_grads(model_and_params):
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     # gradient flows to the llama cross-attn gate and the soi token
-    gate = g["params"]["mm_decoder"]["layers_0"]["llama_cross_attn"]["gate"]
+    dec = g["params"]["mm_decoder"]
+    # scanned layout keeps cross-attn under block/layer_0 with a leading
+    # n_blocks axis; unrolled keeps layers_0
+    gate = (dec["block"]["layer_0"]["llama_cross_attn"]["gate"]
+            if "block" in dec
+            else dec["layers_0"]["llama_cross_attn"]["gate"])
     assert np.abs(np.asarray(gate)).sum() > 0
     soi = g["params"]["soi_token"]
     assert np.abs(np.asarray(soi)).sum() > 0
