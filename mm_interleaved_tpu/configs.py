@@ -25,7 +25,8 @@ from .models.vit_adapter import ViTAdapterConfig
 
 
 def tiny_config(with_image_decoder: bool = True, dtype: str = "float32",
-                max_num_images: int = 3) -> MMInterleavedConfig:
+                max_num_images: int = 3,
+                scan_layers: bool = True) -> MMInterleavedConfig:
     vit = ViTConfig(
         hidden_size=32, intermediate_size=64, num_hidden_layers=4,
         num_attention_heads=4, patch_size=14, image_size=56, dtype=dtype,
@@ -37,6 +38,10 @@ def tiny_config(with_image_decoder: bool = True, dtype: str = "float32",
         max_position_embeddings=128, cross_attention_frequency=2,
         image_embed_dim=32, spatial_shapes=(8, 4), mmfs_heads=2,
         mmfs_points=2, max_num_image_per_seq=8, dtype=dtype,
+        # block-scanned stack by default: HLO size (and thus CPU-XLA test
+        # compile time) is depth-independent; tests that need the unrolled
+        # layout pass scan_layers=False (equivalence: tests/test_scan_layers)
+        scan_layers=scan_layers,
     )
     visual = VisualTokenizerConfig(
         encoder=adapter,
@@ -93,7 +98,8 @@ def tiny_config(with_image_decoder: bool = True, dtype: str = "float32",
 
 def small_config(dtype: str = "bfloat16", with_image_decoder: bool = True,
                  max_num_images: int = 4, seq_len: int = 512,
-                 remat: bool = False) -> MMInterleavedConfig:
+                 remat: bool = False,
+                 scan_layers: bool = True) -> MMInterleavedConfig:
     """~200M-class scale: the full architecture (all components, real ViT
     grid so the pyramid levels are 64/32/16/8) at widths that compile fast —
     used by `__graft_entry__` and as the bench fallback preset."""
@@ -108,7 +114,7 @@ def small_config(dtype: str = "bfloat16", with_image_decoder: bool = True,
         max_position_embeddings=seq_len, cross_attention_frequency=4,
         image_embed_dim=256, spatial_shapes=(32, 16, 8),
         mmfs_heads=8, mmfs_points=8, max_num_image_per_seq=50,
-        dtype=dtype, remat=remat,
+        dtype=dtype, remat=remat, scan_layers=scan_layers,
     )
     visual = VisualTokenizerConfig(
         encoder=adapter,
@@ -161,7 +167,8 @@ def small_config(dtype: str = "bfloat16", with_image_decoder: bool = True,
 
 def base_config(dtype: str = "bfloat16", with_image_decoder: bool = True,
                 max_num_images: int = 6, seq_len: int = 2048,
-                remat: bool = True) -> MMInterleavedConfig:
+                remat: bool = True,
+                scan_layers: bool = True) -> MMInterleavedConfig:
     """~1.4B LLM + ViT-L/14 + SD-2.1-base-sized UNet — fits one v5e chip."""
     vit = ViTConfig(dtype=dtype)  # ViT-L/14 @224
     adapter = ViTAdapterConfig(vit=vit)
@@ -171,7 +178,7 @@ def base_config(dtype: str = "bfloat16", with_image_decoder: bool = True,
         max_position_embeddings=seq_len, cross_attention_frequency=4,
         image_embed_dim=1024, spatial_shapes=(32, 16, 8),
         mmfs_heads=16, mmfs_points=8, max_num_image_per_seq=50,
-        dtype=dtype, remat=remat,
+        dtype=dtype, remat=remat, scan_layers=scan_layers,
     )
     visual = VisualTokenizerConfig(
         encoder=adapter,
