@@ -39,9 +39,47 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def load_torch_state_dict(path: str) -> dict:
+class _LazySafetensors:
+    """Dict-like view over sharded .safetensors files that reads one tensor
+    at a time (mmap-backed).  At 13B the merged eager dict alone is ~26 GB;
+    lazy reads keep converter peak RAM at (init tree + converted updates)."""
+
+    def __init__(self, files):
+        from safetensors import safe_open
+
+        self._handles = [safe_open(f, framework="np") for f in files]
+        self._where = {}
+        for h in self._handles:
+            for k in h.keys():
+                self._where[k] = h
+        self._extra = {}
+
+    def __getitem__(self, key):
+        if key in self._extra:
+            return self._extra[key]
+        return self._where[key].get_tensor(key)
+
+    def __setitem__(self, key, value):
+        self._extra[key] = value
+
+    def __contains__(self, key):
+        return key in self._where or key in self._extra
+
+    def __iter__(self):
+        yield from self._where
+        yield from self._extra
+
+    def __len__(self):
+        return len(self._where) + len(self._extra)
+
+    def keys(self):
+        return list(self)
+
+
+def load_torch_state_dict(path: str):
     """Load a torch checkpoint: a file or a directory of .safetensors /
-    .bin / .pth shards (merged)."""
+    .bin / .pth shards (merged).  Safetensors shards come back as a lazy
+    per-tensor view; torch pickles load eagerly."""
     files = []
     if os.path.isdir(path):
         for pat in ("*.safetensors", "*.bin", "*.pth", "*.pt"):
@@ -51,6 +89,8 @@ def load_torch_state_dict(path: str) -> dict:
     else:
         files = [path]
     assert files, f"no checkpoint files under {path}"
+    if all(f.endswith(".safetensors") for f in files):
+        return _LazySafetensors(files)
     sd = {}
     for f in files:
         if f.endswith(".safetensors"):
@@ -73,11 +113,33 @@ def load_torch_state_dict(path: str) -> dict:
     return sd
 
 
-def _strip_prefix(sd: dict, prefixes=("model.", "module.")) -> dict:
+class _StrippedView:
+    """Lazy `{key[len(prefix):]: value}` view (keeps _LazySafetensors lazy)."""
+
+    def __init__(self, sd, prefix):
+        self._sd = sd
+        self._prefix = prefix
+
+    def __getitem__(self, key):
+        return self._sd[self._prefix + key]
+
+    def __contains__(self, key):
+        return (self._prefix + key) in self._sd
+
+    def __iter__(self):
+        n = len(self._prefix)
+        for k in self._sd:
+            yield k[n:]
+
+    def keys(self):
+        return list(self)
+
+
+def _strip_prefix(sd, prefixes=("model.", "module.")):
     """Peel one wrapping prefix if every key carries it."""
     for p in prefixes:
-        if sd and all(k.startswith(p) for k in sd):
-            return {k[len(p):]: v for k, v in sd.items()}
+        if len(sd.keys()) and all(k.startswith(p) for k in sd):
+            return _StrippedView(sd, p)
     return sd
 
 
@@ -171,9 +233,18 @@ def main(argv=None):
     ap.add_argument("--sd", default=None,
                     help="SD dir with unet/ + vae/ subfolders")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="stored param dtype.  bfloat16 halves host RAM and "
+                    "checkpoint size — the serving path runs bf16 anyway; "
+                    "training warm-starts upcast to fp32 masters at load")
     args = ap.parse_args(argv)
 
     import jax
+
+    # host-side tool: the full tree materialises in host RAM (13B does not
+    # fit one chip's HBM); force the CPU backend regardless of platform pins
+    jax.config.update("jax_platforms", "cpu")
 
     from mm_interleaved_tpu import configs
     from mm_interleaved_tpu.models.mm_interleaved import MMInterleaved
@@ -184,6 +255,15 @@ def main(argv=None):
     model = MMInterleaved(cfg)
     print(f"initialising {args.preset} variables ...", flush=True)
     variables = init_variables(model, cfg, seed=args.seed)
+    if args.dtype != "float32":
+        import jax.numpy as jnp
+
+        dt = jnp.dtype(args.dtype)
+        variables = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).astype(dt)
+            if np.asarray(x).dtype == np.float32 else np.asarray(x),
+            variables,
+        )
     updates = build_updates(args, cfg)
     n_leaves = len(jax.tree_util.tree_leaves(updates))
     print(f"merging {n_leaves} converted tensors ...", flush=True)

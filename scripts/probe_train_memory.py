@@ -40,11 +40,17 @@ from mm_interleaved_tpu.models.mm_interleaved import MMInterleaved
 from mm_interleaved_tpu.parallel.partition import make_mesh, params_shardings
 
 
-def lower_one(tag, B, L, n_img, with_dec=True):
+def lower_one(tag, B, L, n_img, with_dec=True, enc_mini=None):
     mesh = make_mesh(data=1, fsdp=4, tensor=2)
     cfg = flagship_config(max_num_images=n_img, seq_len=L)
     if not with_dec:
         cfg = dataclasses.replace(cfg, image_decoder=None)
+    if enc_mini is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            image_decoder=dataclasses.replace(
+                cfg.image_decoder, vae_encode_mini_bs=enc_mini),
+        )
     model = MMInterleaved(cfg)
     enc = cfg.visual.encoder.vit.image_size
     batch = dict(
@@ -98,3 +104,5 @@ if "l512" in which:
     lower_one("L512", 8, 512, 4)
 if "nodec" in which:
     lower_one("noSD", 8, 2048, 4, with_dec=False)
+if "encmini4" in which:
+    lower_one("encMini4", 8, 2048, 4, enc_mini=4)
