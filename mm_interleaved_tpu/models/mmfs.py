@@ -235,7 +235,12 @@ class MMFS(nn.Module):
         rZ = point_scale / Z  # point-mass normaliser
 
         # --- ignore-token contribution (zeros at init; kept for parity with
-        # loaded weights, mmfs.py:87-89, 233-241)
+        # loaded weights, mmfs.py:87-89, 233-241).  Folded through the output
+        # projection instead of materialised per query: with
+        # ig[b,q] = concat_h(w_ignore[b,q,h] * token_h), linearity gives
+        # (out + ig) @ W + bias == Dense(out) + w_ignore @ (token_h @ W_h)
+        # — the [B, Lq, H*D] intermediate (200 MB/f32 per 64px UNet block)
+        # collapses to a [H, d_out] table.
         ignore_token = self.param(
             "ignore_token",
             nn.initializers.zeros,
@@ -244,14 +249,13 @@ class MMFS(nn.Module):
         )
         ignore_heads = ignore_token.reshape(H, d_val_proj // H)
         w_ignore_tot = ignore_mass / Z  # [B, Lq, H]
-        ignore_contrib = jnp.einsum(
-            "bqh,hd->bqhd", w_ignore_tot, ignore_heads.astype(jnp.float32)
-        )
-        ignore_contrib = rearrange(ignore_contrib, "b q h d -> b q (h d)")
 
         if factorized:
             # image axis stays on-chip: the kernel expands the (query,
-            # image)-separable offsets/weights internally
+            # image)-separable offsets/weights internally.  The query weight
+            # factor rides in the value dtype (bf16 in production) — post-
+            # softmax weights don't need f32, and it halves the second-
+            # largest per-step HBM stream of the denoise loop.
             from ..ops.ms_deform_attn_pallas_mi import mmfs_deform_factorized
 
             out = mmfs_deform_factorized(
@@ -260,7 +264,7 @@ class MMFS(nn.Module):
                 ref,
                 off_q_r,
                 off_img,
-                Eq * rZ[..., None, None],
+                (Eq * rZ[..., None, None]).astype(value.dtype),
                 Et_g,
                 inv_base=1.0 / self.base_spatial_shape,
             )
@@ -281,12 +285,22 @@ class MMFS(nn.Module):
                 sampling_locations.astype(value.dtype),
                 w_points.astype(value.dtype),
             )
-        out = out + ignore_contrib.astype(out.dtype)
-
-        out = nn.Dense(
+        out_dense = nn.Dense(
             d_out,
             dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),
             name="output_proj",
-        )(out)
+        )
+        out = out_dense(out)
+        # folded ignore path: embed token_h into head-h's input slot
+        # (block-diagonal [H, H*D]), project bias-free (Dense(x) - Dense(0)
+        # == x W) to the [H, d_out] table, then one tiny per-query matmul.
+        tok = (
+            jnp.eye(H, dtype=jnp.float32)[:, :, None]
+            * ignore_heads[:, None, :]
+        ).reshape(H, d_val_proj)
+        tok_w = out_dense(tok) - out_dense(jnp.zeros((1, d_val_proj)))
+        out = out + jnp.einsum(
+            "bqh,ho->bqo", w_ignore_tot.astype(tok_w.dtype), tok_w
+        )
         return out

@@ -12,22 +12,35 @@ query.  Exploits three structural facts the generic kernels cannot:
        xs[b,q,h,n,l,p] = xs_q[b,q,h,l,p] + dx[b,n,h,l,p]
        aw[b,q,h,n,l,p] = wq[b,q,h,l,p] * wi[b,n,h,l,p]
 
-   The kernel takes the narrow query slab (no ``n_img`` axis) plus a tiny
-   per-image delta table in SMEM and loops over images *inside* the grid
-   cell — the wide ``[B, Lq, H, n_img, L, P, 2]`` location tensor is never
-   materialised.
+   The kernel takes one compact per-head query slab (offsets, weights and
+   reference points packed on 50 lanes — no ``n_img`` axis, no expanded
+   per-level coordinate copies) plus a tiny per-image delta table in SMEM
+   and loops over images *inside* the grid cell — the wide
+   ``[B, Lq, H, n_img, L, P, 2]`` location tensor is never materialised.
+   Per-(level, point) texel coordinates are built in-kernel from the packed
+   factors (round-4): the old host-side ``[B, H, Qp, L*P*3]`` slab expanded
+   coordinates per level and cost ~400 MB of HBM traffic per 64px UNet
+   block in stack + transpose + occupancy reads; the packed slab is ~2x
+   smaller and is written by one fused XLA pass.  (Packing everything into
+   ONE array matters: narrow per-field arrays get lane-padded to 128 in
+   HBM's (8, 128) tiling — a separate ``[B, H, Qp, 8]`` offsets tensor
+   reads 16x its payload.)
 
 2. **Bilinear hat weights are 2-sparse per row axis** and the sampling
    rows of one row-major 128-query tile cluster tightly (UNet queries are
    latent-grid points with grid-local reference points).  The value slab
    stays in natural row-major order, split into row chunks; per-image,
    per-level, per-chunk occupancy bits — computed on the host from the
-   narrow slab min/max row intervals — gate each chunk's A-build + matmul
-   behind ``pl.when``.  Skipping is exact: an unoccupied chunk's bilinear
-   matrix is identically zero (see `ms_deform_attn_pallas_v5.py`).
+   narrow factors' min/max row intervals — gate each chunk's A-build +
+   matmul behind ``pl.when``.  Skipping is exact: an unoccupied chunk's
+   bilinear matrix is identically zero (see `ms_deform_attn_pallas_v5.py`).
 
 3. **Masked images cost nothing**: ``wi == 0`` clears every occupancy bit
    of that image, so the inner image loop degenerates to the live images.
+
+The output is accumulated in an f32 VMEM scratch and written directly in
+the value dtype (the old f32 output paid double write + transpose-read
+traffic per block).
 
 Forward-only: the denoise loop runs under `jax.lax.scan` with no gradient.
 Training and the LLM-branch per-query masks use the v5 trainable kernel.
@@ -53,83 +66,114 @@ _LANE = 128
 
 
 def _kernel_mi(occ_ref, slab_ref, delta_ref, *refs, metas, n_points, n_img,
-               tile_q):
-    """All images x all levels x occupied row chunks in one grid cell."""
+               tile_q, inv_base, wls, hls):
+    """All images x all levels x occupied row chunks in one grid cell.
+
+    Texel coordinates are built in-kernel from the packed query slab
+    (lanes: offx[P], offy[P], wq[L*P], refx, refy):
+      xs[q; l, p] = (refx[q] + offx[q, p] * inv_base) * wl[l] - 0.5 + dx
+      aw[q; l, p] = wq[q, l*P + p] * wi
+    with (dx, dy, wi) per (image, level, point) from the SMEM delta table.
+    """
     L = len(metas)
     P = n_points
     value_refs = refs[:L]
-    out_ref = refs[-1]
-    slab = slab_ref[0, 0, :, :]
+    out_ref = refs[-2]
+    acc_ref = refs[-1]
+    slab = slab_ref[0, 0, :, :]  # [tile_q, 2P + L*P + 2] f32
     vdtype = value_refs[0].dtype
     prec = (jax.lax.Precision.HIGHEST if vdtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
     D = value_refs[0].shape[3]
-    out_ref[0, 0, :, :] = jnp.zeros((tile_q, D), jnp.float32)
+    acc_ref[...] = jnp.zeros((tile_q, D), jnp.float32)
+
+    refx = slab[:, 2 * P + L * P:2 * P + L * P + 1]  # [tile_q, 1]
+    refy = slab[:, 2 * P + L * P + 1:2 * P + L * P + 2]
 
     for n in range(n_img):
         bit = 0
         for lid, m in enumerate(metas):
             vref = value_refs[lid]
+            wl = wls[lid]
+            hl = hls[lid]
             for g in range(m.G):
                 w_i, b_i = divmod(bit, _WORD_BITS)
                 cond = ((occ_ref[0, 0, 0, n, w_i] >> b_i) & 1) == 1
 
                 @pl.when(cond)
-                def _(n=n, lid=lid, g=g, m=m, vref=vref):
+                def _(n=n, lid=lid, g=g, m=m, vref=vref, wl=wl, hl=hl):
                     f = jax.lax.broadcasted_iota(
                         jnp.int32, (tile_q, m.chunk), 1)
                     iox = (f % m.wp).astype(jnp.float32)
                     ioy = (f // m.wp).astype(jnp.float32) + float(g * m.hc)
                     A = None
                     for p in range(P):
-                        j = (lid * P + p) * 3
-                        xs = slab[:, j:j + 1] + delta_ref[0, 0, n, j]
-                        ys = slab[:, j + 1:j + 2] + delta_ref[0, 0, n, j + 1]
-                        aw = slab[:, j + 2:j + 3] * delta_ref[0, 0, n, j + 2]
+                        j = 3 * (lid * P + p)
+                        xs = (refx + slab[:, p:p + 1] * inv_base) * wl \
+                            - 0.5 + delta_ref[0, 0, n, j]
+                        ys = (refy + slab[:, P + p:P + p + 1] * inv_base) \
+                            * hl - 0.5 + delta_ref[0, 0, n, j + 1]
+                        aw = slab[:, 2 * P + lid * P + p:
+                                  2 * P + lid * P + p + 1] \
+                            * delta_ref[0, 0, n, j + 2]
                         contrib = _hat(iox - xs) * (_hat(ioy - ys) * aw)
                         A = contrib if A is None else A + contrib
                     lo = n * m.hwp + g * m.chunk
                     rows = vref[0, 0, lo:lo + m.chunk, :]
-                    out_ref[0, 0, :, :] += jnp.dot(
+                    acc_ref[...] += jnp.dot(
                         A.astype(vdtype), rows,
                         preferred_element_type=jnp.float32, precision=prec,
                     )
 
                 bit += 1
 
+    out_ref[0, 0, :, :] = acc_ref[...].astype(out_ref.dtype)
 
-def _occupancy_mi(slab, delta, metas, n_points, tile_q):
+
+def _occupancy_mi(refy, off_qy, wq_any, delta, metas, n_points, tile_q,
+                  inv_base):
     """[B, H, T, n_img, n_words] int32 occupancy bits per (level, chunk).
 
-    Conservative-exact: per point the tile's ``ys`` interval (min/max over
-    its queries) is shifted by the image's ``dy``; a chunk is marked iff
-    some point's shifted interval meets the open hat-support window and
-    both weight factors are nonzero."""
-    B, H, Qp, lanes = slab.shape
-    T = Qp // tile_q
-    P = n_points
-    s = slab.reshape(B, H, T, tile_q, lanes)
-    ys_q = s[..., 1::3]  # [B, H, T, TQ, L*P]
-    wq = s[..., 2::3]
-    # padded queries carry wq == 0; exclude them from the interval
+    Conservative-exact, computed from the pre-transpose factors: per point
+    the tile's normalised ``ref_y + offy * inv_base`` interval (min/max
+    over its live queries) maps affinely to each level's texel rows
+    (``hl > 0`` commutes with min/max), is shifted by the image's ``dy``;
+    a chunk is marked iff some point's shifted interval meets the open
+    hat-support window and the image weight factor is nonzero."""
+    B, Lq, H, P = off_qy.shape
+    q_pad = (-Lq) % tile_q
+    # normalised y per (b, q, h, p), masked to exclude dead queries
+    y0 = refy[:, :, None, None] + off_qy * inv_base  # [B, Lq, H, P]
     neg, pos = jnp.float32(-1e9), jnp.float32(1e9)
-    ys_lo = jnp.min(jnp.where(wq != 0, ys_q, pos), axis=3)  # [B, H, T, L*P]
-    ys_hi = jnp.max(jnp.where(wq != 0, ys_q, neg), axis=3)
+    lo_m = jnp.where(wq_any[..., None], y0, pos)
+    hi_m = jnp.where(wq_any[..., None], y0, neg)
+    if q_pad:
+        lo_m = jnp.pad(lo_m, ((0, 0), (0, q_pad), (0, 0), (0, 0)),
+                       constant_values=pos)
+        hi_m = jnp.pad(hi_m, ((0, 0), (0, q_pad), (0, 0), (0, 0)),
+                       constant_values=neg)
+    T = (Lq + q_pad) // tile_q
+    y_lo = lo_m.reshape(B, T, tile_q, H, P).min(axis=2)  # [B, T, H, P]
+    y_hi = hi_m.reshape(B, T, tile_q, H, P).max(axis=2)
+    y_lo = y_lo.transpose(0, 2, 1, 3)  # [B, H, T, P]
+    y_hi = y_hi.transpose(0, 2, 1, 3)
+
     dy = delta[..., 1::3]  # [B, H, n_img, L*P]
     wi = delta[..., 2::3]
-    lo_n = ys_lo[:, :, :, None, :] + dy[:, :, None]  # [B, H, T, n_img, L*P]
-    hi_n = ys_hi[:, :, :, None, :] + dy[:, :, None]
-    live = (wi != 0)[:, :, None]
+    live = wi != 0  # [B, H, n_img, L*P]
 
     words, cur, nb = [], 0, 0
     for lid, m in enumerate(metas):
+        hl = float(m.h)
         sl = slice(lid * P, (lid + 1) * P)
+        # texel-row interval at this level (affine map commutes w/ min-max)
+        lo_n = (y_lo * hl - 0.5)[:, :, :, None, :] + dy[:, :, None, :, sl]
+        hi_n = (y_hi * hl - 0.5)[:, :, :, None, :] + dy[:, :, None, :, sl]
+        live_l = live[:, :, None, :, sl]  # [B, H, 1, n_img, P]
         for g in range(m.G):
             lo, hi = g * m.hc, (g + 1) * m.hc
             occ = (
-                (hi_n[..., sl] > lo - 1.0)
-                & (lo_n[..., sl] < float(hi))
-                & live[..., sl]
+                (hi_n > lo - 1.0) & (lo_n < float(hi)) & live_l
             ).any(axis=-1)
             cur = cur | (occ.astype(jnp.int32) << nb)
             nb += 1
@@ -151,7 +195,7 @@ def mmfs_deform_factorized(
     ref: jax.Array,  # [B, Lq, 2] f32, (x, y) in [0, 1]
     off_q: jax.Array,  # [B, Lq, H, P, 2] f32 (query offset part, bias incl.)
     off_img: jax.Array,  # [B, n_img, H, P, 2] f32 (relpos offset part)
-    wq: jax.Array,  # [B, Lq, H, L, P] f32 = Eq * rZ (query weight factor)
+    wq: jax.Array,  # [B, Lq, H, L, P] = Eq * rZ (query weight factor)
     wi: jax.Array,  # [B, n_img, H, L, P] f32 = Et (masked image factor)
     inv_base: float,  # per-level offset scale (1 / base_spatial_shape)
     tile_q: int = 128,
@@ -159,7 +203,9 @@ def mmfs_deform_factorized(
 ) -> jax.Array:
     """Returns [B, Lq, H*D] in value's dtype: the w-weighted multi-image
     multi-scale deformable readout, equal (within fp rounding) to
-    `ms_deform_attn_multi_image` on the expanded tensors."""
+    `ms_deform_attn_multi_image` on the expanded tensors.  ``wq`` may be
+    bf16 (production denoise) or f32 (parity tests) — the kernel upcasts
+    it into the f32 slab either way."""
     B, n_img, hw, H, D = value.shape
     Lq = off_q.shape[1]
     L = len(level_shapes)
@@ -169,24 +215,31 @@ def mmfs_deform_factorized(
 
     q_pad = (-Lq) % tile_q
     Qp = Lq + q_pad
+    wls = tuple(float(w) for (_, w) in level_shapes)
+    hls = tuple(float(h) for (h, _) in level_shapes)
 
-    # --- query slab [B, H, Qp, L*P*3]: per (l, p) lanes (xs_q, ys_q, wq)
-    # in texel coordinates of level l
-    wl = jnp.asarray([w for (_, w) in level_shapes], jnp.float32)
-    hl = jnp.asarray([h for (h, _) in level_shapes], jnp.float32)
-    # [B, Lq, H, L, P]
-    xs_q = (ref[:, :, None, None, None, 0]
-            + off_q[:, :, :, None, :, 0] * inv_base) \
-        * wl[None, None, None, :, None] - 0.5
-    ys_q = (ref[:, :, None, None, None, 1]
-            + off_q[:, :, :, None, :, 1] * inv_base) \
-        * hl[None, None, None, :, None] - 0.5
-    slab = jnp.stack([xs_q, ys_q, wq.astype(jnp.float32)], axis=-1)
-    slab = slab.reshape(B, Lq, H, L * P * 3).transpose(0, 2, 1, 3)
-    slab = jnp.pad(slab, ((0, 0), (0, 0), (0, q_pad), (0, 0)))
+    # --- packed per-head query slab [B, H, Qp, 2P + L*P + 2] f32, lanes
+    # [offx(P), offy(P), wq(L*P), refx, refy] — one fused concat-of-
+    # transposes pass, no per-level coordinate expansion
+    refb = jnp.broadcast_to(
+        ref.astype(jnp.float32)[:, :, None, :], (B, Lq, H, 2)
+    )
+    slab = jnp.concatenate(
+        [
+            off_q[..., 0].astype(jnp.float32),
+            off_q[..., 1].astype(jnp.float32),
+            wq.reshape(B, Lq, H, L * P).astype(jnp.float32),
+            refb,
+        ],
+        axis=-1,
+    ).transpose(0, 2, 1, 3)  # [B, H, Lq, 2P + L*P + 2]
+    if q_pad:
+        slab = jnp.pad(slab, ((0, 0), (0, 0), (0, q_pad), (0, 0)))
 
     # --- per-image delta [B, H, n_img, L*P*3]: (dx, dy, wi) — the additive
     # texel shift and multiplicative weight factor per (image, level, point)
+    wl = jnp.asarray(wls, jnp.float32)
+    hl = jnp.asarray(hls, jnp.float32)
     dx = off_img[:, :, :, None, :, 0] * inv_base \
         * wl[None, None, None, :, None]  # [B, n_img, H, L, P]
     dy = off_img[:, :, :, None, :, 1] * inv_base \
@@ -194,7 +247,12 @@ def mmfs_deform_factorized(
     delta = jnp.stack([dx, dy, wi.astype(jnp.float32)], axis=-1)
     delta = delta.reshape(B, n_img, H, L * P * 3).transpose(0, 2, 1, 3)
 
-    occ = _occupancy_mi(slab, delta, metas, P, tile_q)
+    wq_any = (wq != 0).any(axis=(-2, -1))  # [B, Lq, H] live-query mask
+    occ = _occupancy_mi(
+        ref[..., 1].astype(jnp.float32),
+        off_q[..., 1].astype(jnp.float32), wq_any, delta, metas, P,
+        tile_q, inv_base,
+    )
 
     # --- per-level ROW-MAJOR value slabs [B, H, n_img*HWp_l, D]
     val = value.transpose(0, 3, 1, 2, 4)  # [B, H, n_img, hw, D]
@@ -213,6 +271,7 @@ def mmfs_deform_factorized(
     out = pl.pallas_call(
         functools.partial(
             _kernel_mi, metas=metas, n_points=P, n_img=n_img, tile_q=tile_q,
+            inv_base=inv_base, wls=wls, hls=hls,
         ),
         grid=(B, H, n_tiles),
         in_specs=[
@@ -222,7 +281,7 @@ def mmfs_deform_factorized(
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, 1, tile_q, L * P * 3),
+                (1, 1, tile_q, slab.shape[-1]),
                 lambda b, hh, t: (b, hh, t, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -244,8 +303,11 @@ def mmfs_deform_factorized(
             lambda b, hh, t: (b, hh, t, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), jnp.float32),
+        # value dtype straight out of the f32 scratch accumulator — an f32
+        # output pays double write + double transpose-read traffic
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), value.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_q, D), jnp.float32)],
         interpret=interpret,
     )(occ, slab, delta, *level_vals)
     out = out[:, :, :Lq].transpose(0, 2, 1, 3)
-    return out.reshape(B, Lq, H * D).astype(value.dtype)
+    return out.reshape(B, Lq, H * D)

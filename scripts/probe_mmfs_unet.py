@@ -41,11 +41,16 @@ mmfs_mask = jnp.asarray(
 
 
 def timeit_chain(apply_fn, n, *args):
+    from mm_interleaved_tpu.ops.ms_deform_attn import pallas_deform_inference
+
     @jax.jit
     def chained(*a):
         out = a[0]
-        for _ in range(n):
-            out = apply_fn(out, *a[1:])
+        # same dispatch context the denoise scan traces under — without it
+        # every block silently falls back to the XLA gather oracle
+        with pallas_deform_inference():
+            for _ in range(n):
+                out = apply_fn(out, *a[1:])
         return jax.tree_util.tree_leaves(out)[0].ravel()[0]
 
     np.asarray(chained(*args))
