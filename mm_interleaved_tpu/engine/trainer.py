@@ -180,13 +180,19 @@ class Trainer:
 
         use_pallas = self.cfg.pallas_deform
 
+        mesh = self.mesh
+
         def train_step(state: TrainState, batch: Dict[str, jax.Array]):
             from contextlib import nullcontext
 
             from ..ops.ms_deform_attn import pallas_deform_training
+            from ..parallel.inference import generation_mesh
 
             ctx = pallas_deform_training() if use_pallas else nullcontext()
-            with ctx:  # trace-time dispatch; no runtime effect
+            # activate the mesh for model-side `constrain` calls (e.g. the
+            # merged-stream batch pin in prepare_mm_embeds) — trace-time
+            # contextvars, no runtime effect
+            with ctx, generation_mesh(mesh):
                 return _step_body(state, batch)
 
         def _step_body(state: TrainState, batch: Dict[str, jax.Array]):

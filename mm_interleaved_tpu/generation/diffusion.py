@@ -173,20 +173,61 @@ def _denoise(
     # UNet forward)
     mmfs_projected = None
     if mmfs_in is not None:
+        # projections at the PRE-duplication batch: the image side is
+        # identical across CFG halves, and the factorized kernel reads the
+        # shared half directly (cfg_dup grid in ms_deform_attn_pallas_mi),
+        # halving both the setup cost and the per-step value-slab traffic
         mmfs_projected = compute_mmfs_projections(
-            model, variables, decoder, cfg.unet, mmfs_in, mask_in
+            model, variables, decoder, cfg.unet, mmfs_values, mmfs_mask
         )
         if mmfs_projected is not None:
-            # 13 blocks x [B_cfg, n_img, hw, d_vp] is the dominant live
+            # 13 blocks x [B, n_img, hw, d_vp] is the dominant live
             # buffer of the whole denoise program at flagship scale
-            # (~9 GB replicated at B=8 CFG) — pin batch to the data axes
-            # and the projected channels to `tensor` (the value_proj
-            # column split), mirroring the LLM-side vision value cache
+            # (~4.5 GB at B=8) — pin batch to the data axes and the
+            # projected channels to `tensor` (the value_proj column
+            # split), mirroring the LLM-side vision value cache
             # (generation/text.py).
             mmfs_projected = tuple(
                 constrain(pv, ("data", "fsdp"), None, None, "tensor")
                 for pv in mmfs_projected
             )
+            # factorized-kernel path (TPU): pre-lay-out each block's
+            # projection as per-level row-major slabs once, outside the
+            # scan — the per-step transpose is ~180 MB of HBM per 64px
+            # block and XLA's LICM does not hoist it.  The raw projection
+            # is dropped to keep one copy resident (the slabs replace it).
+            # Slabs stay at the PRE-CFG batch (kernel cfg_dup sharing).
+            from ..ops.ms_deform_attn import factorized_deform_eligible
+            from ..ops.ms_deform_attn_pallas_mi import prepare_value_slabs
+
+            mcfg = cfg.unet.mmfs
+            min_lq = min(
+                s * s for s in cfg.unet.down_residual_spec()[1]
+            )
+            if factorized_deform_eligible(min_lq):
+                shapes = tuple((s, s) for s in mcfg.feat_spatial_shapes)
+                Hh = mcfg.n_heads
+
+                def to_slabs(pv):
+                    Bp, n_img, hw, d_vp = pv.shape
+                    slabs = prepare_value_slabs(
+                        pv.reshape(Bp, n_img, hw, Hh, d_vp // Hh), shapes
+                    )
+                    return {"slabs": tuple(
+                        constrain(s, ("data", "fsdp"), "tensor")
+                        for s in slabs
+                    )}
+
+                mmfs_projected = tuple(
+                    to_slabs(pv) for pv in mmfs_projected
+                )
+            elif do_cfg:
+                # non-factorized fallback (CPU/tests): the raw projected
+                # values feed `MMFS` at the full CFG batch — duplicate
+                mmfs_projected = tuple(
+                    jnp.concatenate([pv] * 2, axis=0)
+                    for pv in mmfs_projected
+                )
 
     def unet_fn(latents_in, tb):
         return model.apply(

@@ -130,6 +130,13 @@ class MMInterleaved(nn.Module):
             mm_embeds, text_ids,
             self.soi_token.astype(mm_embeds.dtype), c.special.soi_token_id
         )
+        # pin the merged stream to batch sharding: GSPMD propagation from
+        # the (tensor, fsdp)-sharded embed table otherwise lands a
+        # [1, seq, hidden]-style sharding here and pays an involuntary full
+        # rematerialization resharding into the decoder's batch layout
+        from ..parallel.inference import constrain
+
+        mm_embeds = constrain(mm_embeds, ("data", "fsdp"))
         cross_mask, soi_pos = so.mm_cross_attention_mask(
             text_ids,
             num_image_per_seq,

@@ -92,18 +92,27 @@ class MMFS(nn.Module):
         attention_mask: jax.Array,  # [B, Lq, n_img] or [B, n_img]; 1=valid
         reference_points: Optional[jax.Array] = None,  # [B, Lq, 2] in [0,1]
         projected_value: Optional[jax.Array] = None,  # [B, n_img, hw, d_vp]
+        value_slabs: Optional[Tuple[jax.Array, ...]] = None,
     ) -> jax.Array:
         """``projected_value`` lets decode steps reuse the value projection of
         the (step-invariant) vision pyramid: the prefill pass sows it under
         'intermediates'/'projected_value' and the generation runtime feeds it
-        back, skipping a full `value_proj` matmul per step per layer."""
+        back, skipping a full `value_proj` matmul per step per layer.
+
+        ``value_slabs`` goes one step further for the factorized UNet path:
+        per-level row-major kernel-layout slabs (``[B, H, n_img*HWp_l, D]``,
+        see `ops.ms_deform_attn_pallas_mi.prepare_value_slabs`) prepared
+        once outside the denoise scan — the layout transpose is ~180 MB of
+        HBM per 64px block per step and XLA does not hoist it out of
+        `lax.scan` on its own.  When given, ``input_flatten`` /
+        ``projected_value`` may be None and the factorized kernel is used
+        unconditionally (the caller made the dispatch decision)."""
         d_query = self.d_query if self.d_query > 0 else self.d_model
         d_out = self.d_out if self.d_out > 0 else self.d_model
         d_val_proj = int(self.d_model * self.ratio)
         n_levels = len(self.level_shapes)
         B, Lq, _ = query.shape
-        n_img = (input_flatten if projected_value is None
-                 else projected_value).shape[1]
+        n_img = attention_mask.shape[-1]
         nlevels = n_img * n_levels
         P = self.n_points
         H = self.n_heads
@@ -116,7 +125,9 @@ class MMFS(nn.Module):
         image_relpos = image_relpos_from_mask(mask, R)
 
         # --- value projection (skipped when the prefill already computed it)
-        if projected_value is None:
+        if value_slabs is not None:
+            value = None
+        elif projected_value is None:
             value = nn.Dense(
                 d_val_proj,
                 dtype=self.dtype,
@@ -126,9 +137,10 @@ class MMFS(nn.Module):
             self.sow("intermediates", "projected_value", value)
         else:
             value = projected_value
-        value = value.reshape(
-            B, n_img, -1, H, d_val_proj // H
-        )
+        if value is not None:
+            value = value.reshape(
+                B, n_img, -1, H, d_val_proj // H
+            )
 
         # --- per-image query conditioning, linearly decomposed
         q = nn.Dense(d_query, dtype=self.dtype, name="dynamic_offset_mask")(
@@ -225,7 +237,9 @@ class MMFS(nn.Module):
             Et_g = Et_g * mask[..., None, None, None].astype(jnp.float32)
             S = jnp.einsum("bqhlp,bnhlp->bqhn", Eq, Et_g)
             off_img = off_tab_r[image_relpos]  # [B, n_img, H, P, 2]
-            factorized = factorized_deform_eligible(Lq)
+            factorized = (
+                value_slabs is not None or factorized_deform_eligible(Lq)
+            )
             if not factorized:
                 off_full = off_q_r[:, :, None] + off_img[:, None]
                 Et_b = rearrange(Et_g, "b n h l p -> b () h n l p")
@@ -256,17 +270,34 @@ class MMFS(nn.Module):
             # factor rides in the value dtype (bf16 in production) — post-
             # softmax weights don't need f32, and it halves the second-
             # largest per-step HBM stream of the denoise loop.
-            from ..ops.ms_deform_attn_pallas_mi import mmfs_deform_factorized
+            from ..ops.ms_deform_attn_pallas_mi import (
+                build_delta,
+                mmfs_deform_factorized_prepared,
+                prepare_value_slabs,
+            )
 
-            out = mmfs_deform_factorized(
-                value,
-                tuple(self.level_shapes),
+            inv_base = 1.0 / self.base_spatial_shape
+            shapes = tuple(self.level_shapes)
+            slabs = (
+                value_slabs if value_slabs is not None
+                else prepare_value_slabs(value, shapes)
+            )
+            delta = build_delta(off_img, Et_g, shapes, inv_base)
+            Bv = slabs[0].shape[0]
+            if Bv != B:
+                # CFG-shared slabs (denoise hoist): the image side is
+                # identical across the guidance halves — relpos tables and
+                # masks are duplicated — so the kernel reads the
+                # un-duplicated half (query row c*Bv+b <- image row b)
+                delta = delta[:Bv]
+            out = mmfs_deform_factorized_prepared(
+                slabs,
+                delta,
+                shapes,
                 ref,
                 off_q_r,
-                off_img,
-                (Eq * rZ[..., None, None]).astype(value.dtype),
-                Et_g,
-                inv_base=1.0 / self.base_spatial_shape,
+                (Eq * rZ[..., None, None]).astype(slabs[0].dtype),
+                inv_base=inv_base,
             )
         else:
             # wide tensors for the deform core, built by broadcast (fused by

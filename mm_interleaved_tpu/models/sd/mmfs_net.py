@@ -44,14 +44,18 @@ class MMFSBlock(nn.Module):
     base_spatial_shape: int
 
     @nn.compact
-    def __call__(self, sample, mmfs_values, mmfs_mask, projected_value=None):
+    def __call__(self, sample, mmfs_values, mmfs_mask, projected_value=None,
+                 value_slabs=None):
         """sample: [B, H, W, Cq]; mmfs_values: [B, n_img, sum(hw), Cv];
         mmfs_mask: [B, n_img].
 
         ``projected_value`` short-circuits the step-invariant feat_norm +
         value_proj chain: the denoise loop runs one capture pass, collects
         each block's sown projection, and reuses it for every step (the
-        reference recomputes both per UNet call, sd_mmfs.py:99-120)."""
+        reference recomputes both per UNet call, sd_mmfs.py:99-120).
+        ``value_slabs`` additionally pre-lays-out the projection in the
+        factorized kernel's per-level row-major form (the transpose is the
+        dominant hoistable per-step HBM stream — see models/mmfs.py)."""
         c = self.cfg
         B, H, W, Cq = sample.shape
 
@@ -65,7 +69,7 @@ class MMFSBlock(nn.Module):
 
         feats = (
             nn.LayerNorm(epsilon=1e-6, name="feat_norm")(mmfs_values)
-            if projected_value is None else None
+            if projected_value is None and value_slabs is None else None
         )
 
         ref = jnp.asarray(grid_reference_points(((H, W),)))[None]
@@ -86,7 +90,7 @@ class MMFSBlock(nn.Module):
             dtype=sample.dtype,
             name="mmfs",
         )(q, feats, mmfs_mask, reference_points=ref,
-          projected_value=projected_value)
+          projected_value=projected_value, value_slabs=value_slabs)
 
         out = rearrange(out, "b (h w) c -> b h w c", h=H)
         out = nn.Conv(
@@ -112,20 +116,36 @@ class MMFSNet(nn.Module):
     def __call__(self, sample, down_block_res_samples, mmfs_values, mmfs_mask,
                  projected_values=None):
         """``projected_values``: optional per-block pre-projected value
-        tuple, down blocks first then mid (len == n_down + 1)."""
+        tuple, down blocks first then mid (len == n_down + 1).  Each entry
+        is either the raw ``[B, n_img, hw, d_vp]`` projection or a dict
+        with ``"projected"`` and/or ``"slabs"`` (the factorized kernel's
+        pre-laid-out per-level value slabs, see
+        `generation.diffusion.compute_mmfs_projections`)."""
         assert len(down_block_res_samples) == len(self.residual_channels)
         pv = (projected_values if projected_values is not None
               else (None,) * (len(self.residual_channels) + 1))
+
+        def unpack(entry):
+            if entry is None:
+                return None, None
+            if isinstance(entry, dict):
+                return entry.get("projected"), entry.get("slabs")
+            return entry, None
+
         new_res = []
         for i, res in enumerate(down_block_res_samples):
+            proj, slabs = unpack(pv[i])
             delta = MMFSBlock(
                 self.cfg,
                 self.residual_channels[i],
                 self.residual_sizes[i],
                 name=f"down_blocks_{i}",
-            )(res, mmfs_values, mmfs_mask, projected_value=pv[i])
+            )(res, mmfs_values, mmfs_mask, projected_value=proj,
+              value_slabs=slabs)
             new_res.append(res + delta)
+        proj, slabs = unpack(pv[-1])
         delta = MMFSBlock(
             self.cfg, self.mid_channel, self.mid_size, name="mid_block"
-        )(sample, mmfs_values, mmfs_mask, projected_value=pv[-1])
+        )(sample, mmfs_values, mmfs_mask, projected_value=proj,
+          value_slabs=slabs)
         return sample + delta, tuple(new_res)

@@ -70,25 +70,29 @@ def _kernel_mi(occ_ref, slab_ref, delta_ref, *refs, metas, n_points, n_img,
     """All images x all levels x occupied row chunks in one grid cell.
 
     Texel coordinates are built in-kernel from the packed query slab
-    (lanes: offx[P], offy[P], wq[L*P], refx, refy):
-      xs[q; l, p] = (refx[q] + offx[q, p] * inv_base) * wl[l] - 0.5 + dx
-      aw[q; l, p] = wq[q, l*P + p] * wi
+    (TRANSPOSED layout — sublanes: offx[P], offy[P], wq[L*P], refx, refy;
+    lanes: queries — so the HBM-resident slab's minor dim is the
+    128-aligned padded query count instead of 50 lanes padded to 128):
+      xs[q; l, p] = (refx[q] + offx[p, q] * inv_base) * wl[l] - 0.5 + dx
+      aw[q; l, p] = wq[l*P + p, q] * wi
     with (dx, dy, wi) per (image, level, point) from the SMEM delta table.
+    The bilinear matrix is built transposed (``A_T [chunk, tile_q]``) and
+    contracted on dim 0 — same MXU work, no in-kernel transpose.
     """
     L = len(metas)
     P = n_points
     value_refs = refs[:L]
     out_ref = refs[-2]
     acc_ref = refs[-1]
-    slab = slab_ref[0, 0, :, :]  # [tile_q, 2P + L*P + 2] f32
+    slab = slab_ref[0, 0, :, :]  # [2P + L*P + 2, tile_q] f32
     vdtype = value_refs[0].dtype
     prec = (jax.lax.Precision.HIGHEST if vdtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
     D = value_refs[0].shape[3]
     acc_ref[...] = jnp.zeros((tile_q, D), jnp.float32)
 
-    refx = slab[:, 2 * P + L * P:2 * P + L * P + 1]  # [tile_q, 1]
-    refy = slab[:, 2 * P + L * P + 1:2 * P + L * P + 2]
+    refx = slab[2 * P + L * P:2 * P + L * P + 1, :]  # [1, tile_q]
+    refy = slab[2 * P + L * P + 1:2 * P + L * P + 2, :]
 
     for n in range(n_img):
         bit = 0
@@ -103,25 +107,29 @@ def _kernel_mi(occ_ref, slab_ref, delta_ref, *refs, metas, n_points, n_img,
                 @pl.when(cond)
                 def _(n=n, lid=lid, g=g, m=m, vref=vref, wl=wl, hl=hl):
                     f = jax.lax.broadcasted_iota(
-                        jnp.int32, (tile_q, m.chunk), 1)
+                        jnp.int32, (m.chunk, tile_q), 0)
                     iox = (f % m.wp).astype(jnp.float32)
                     ioy = (f // m.wp).astype(jnp.float32) + float(g * m.hc)
-                    A = None
+                    A_T = None
                     for p in range(P):
                         j = 3 * (lid * P + p)
-                        xs = (refx + slab[:, p:p + 1] * inv_base) * wl \
+                        xs = (refx + slab[p:p + 1, :] * inv_base) * wl \
                             - 0.5 + delta_ref[0, 0, n, j]
-                        ys = (refy + slab[:, P + p:P + p + 1] * inv_base) \
+                        ys = (refy + slab[P + p:P + p + 1, :] * inv_base) \
                             * hl - 0.5 + delta_ref[0, 0, n, j + 1]
-                        aw = slab[:, 2 * P + lid * P + p:
-                                  2 * P + lid * P + p + 1] \
+                        aw = slab[2 * P + lid * P + p:
+                                  2 * P + lid * P + p + 1, :] \
                             * delta_ref[0, 0, n, j + 2]
                         contrib = _hat(iox - xs) * (_hat(ioy - ys) * aw)
-                        A = contrib if A is None else A + contrib
+                        A_T = contrib if A_T is None else A_T + contrib
                     lo = n * m.hwp + g * m.chunk
                     rows = vref[0, 0, lo:lo + m.chunk, :]
-                    acc_ref[...] += jnp.dot(
-                        A.astype(vdtype), rows,
+                    # contract the chunk axis of both (A_T^T @ rows) —
+                    # the MXU takes the transposed lhs via dimension
+                    # numbers, no data movement
+                    acc_ref[...] += jax.lax.dot_general(
+                        A_T.astype(vdtype), rows,
+                        (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32, precision=prec,
                     )
 
@@ -185,6 +193,70 @@ def _occupancy_mi(refy, off_qy, wq_any, delta, metas, n_points, tile_q,
     return jnp.stack(words, axis=-1)
 
 
+def prepare_value_slabs(
+    value: jax.Array,  # [B, n_img, hw, H, D]
+    level_shapes: Tuple[Tuple[int, int], ...],
+) -> Tuple[jax.Array, ...]:
+    """Per-level row-major kernel-layout value slabs ``[B, H, n_img*HWp_l,
+    D]``.
+
+    Step-invariant: the denoise loop hoists this out of the `lax.scan` —
+    the layout transpose alone moves ~180 MB of HBM per 64px UNet block
+    and XLA's loop-invariant code motion does NOT lift it out of the scan
+    body (round-5 probe: ~19 ms/step of MMFS machinery with all images
+    masked)."""
+    B, n_img, hw, H, D = value.shape
+    assert sum(h * w for h, w in level_shapes) == hw
+    metas = _metas(level_shapes)
+    val = value.transpose(0, 3, 1, 2, 4)  # [B, H, n_img, hw, D]
+    level_vals, start = [], 0
+    for m in metas:
+        v = jax.lax.slice_in_dim(val, start, start + m.h * m.w, axis=3)
+        v = v.reshape(B, H, n_img, m.h, m.w, D)
+        if m.wp > m.w:
+            v = jnp.pad(
+                v, ((0, 0), (0, 0), (0, 0), (0, 0), (0, m.wp - m.w), (0, 0))
+            )
+        level_vals.append(v.reshape(B, H, n_img * m.hwp, D))
+        start += m.h * m.w
+    return tuple(level_vals)
+
+
+def build_delta(
+    off_img: jax.Array,  # [B, n_img, H, P, 2] f32 (relpos offset part)
+    wi: jax.Array,  # [B, n_img, H, L, P] f32 = Et (masked image factor)
+    level_shapes: Tuple[Tuple[int, int], ...],
+    inv_base: float,
+) -> jax.Array:
+    """Per-image delta table [B, H, n_img, L*P*3]: (dx, dy, wi) — the
+    additive texel shift and multiplicative weight factor per (image,
+    level, point).  Tiny (no query axis)."""
+    B, n_img, H, P, _ = off_img.shape
+    L = len(level_shapes)
+    wl = jnp.asarray([float(w) for (_, w) in level_shapes], jnp.float32)
+    hl = jnp.asarray([float(h) for (h, _) in level_shapes], jnp.float32)
+    dx = off_img[:, :, :, None, :, 0] * inv_base \
+        * wl[None, None, None, :, None]  # [B, n_img, H, L, P]
+    dy = off_img[:, :, :, None, :, 1] * inv_base \
+        * hl[None, None, None, :, None]
+    delta = jnp.stack([dx, dy, wi.astype(jnp.float32)], axis=-1)
+    return delta.reshape(B, n_img, H, L * P * 3).transpose(0, 2, 1, 3)
+
+
+def prepare_image_side(
+    value: jax.Array,  # [B, n_img, hw, H, D]
+    level_shapes: Tuple[Tuple[int, int], ...],
+    off_img: jax.Array,  # [B, n_img, H, P, 2] f32 (relpos offset part)
+    wi: jax.Array,  # [B, n_img, H, L, P] f32 = Et (masked image factor)
+    inv_base: float,
+) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
+    """Step-invariant kernel inputs: value slabs + delta table."""
+    return (
+        prepare_value_slabs(value, level_shapes),
+        build_delta(off_img, wi, level_shapes, inv_base),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("level_shapes", "inv_base", "tile_q", "interpret"),
@@ -206,11 +278,44 @@ def mmfs_deform_factorized(
     `ms_deform_attn_multi_image` on the expanded tensors.  ``wq`` may be
     bf16 (production denoise) or f32 (parity tests) — the kernel upcasts
     it into the f32 slab either way."""
-    B, n_img, hw, H, D = value.shape
-    Lq = off_q.shape[1]
+    level_vals, delta = prepare_image_side(
+        value, level_shapes, off_img, wi, inv_base
+    )
+    return mmfs_deform_factorized_prepared(
+        level_vals, delta, level_shapes, ref, off_q, wq, inv_base,
+        tile_q=tile_q, interpret=interpret,
+    )
+
+
+def mmfs_deform_factorized_prepared(
+    level_vals: Tuple[jax.Array, ...],  # per-level [Bv, H, n_img*HWp_l, D]
+    delta: jax.Array,  # [Bv, H, n_img, L*P*3] f32
+    level_shapes: Tuple[Tuple[int, int], ...],
+    ref: jax.Array,  # [B, Lq, 2] f32, (x, y) in [0, 1]
+    off_q: jax.Array,  # [B, Lq, H, P, 2] f32 (query offset part, bias incl.)
+    wq: jax.Array,  # [B, Lq, H, L, P] = Eq * rZ (query weight factor)
+    inv_base: float,
+    tile_q: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-step half of :func:`mmfs_deform_factorized`: takes the prepared
+    image-side inputs so only the query-side slab + occupancy are built per
+    denoise step.
+
+    **CFG sharing**: the image side (``level_vals``, ``delta``) may carry a
+    smaller batch ``Bv`` with ``B == cfg_dup * Bv`` — query row ``c*Bv + b``
+    reads image row ``b``.  The denoise loop's CFG duplication
+    (``[uncond rows..., cond rows...]``) has an *identical* image side in
+    both halves (values and relpos tables are mask/feature functions only),
+    so passing the un-duplicated half lets consecutive grid steps reuse the
+    fetched value block and halves the dominant per-step HBM stream."""
+    B, Lq, H, P, _ = off_q.shape
     L = len(level_shapes)
-    P = off_q.shape[3]
-    assert sum(h * w for h, w in level_shapes) == hw
+    n_img = delta.shape[2]
+    D = level_vals[0].shape[3]
+    Bv = level_vals[0].shape[0]
+    assert B % Bv == 0 and delta.shape[0] == Bv
+    cfg_dup = B // Bv
     metas = _metas(level_shapes)
 
     q_pad = (-Lq) % tile_q
@@ -218,94 +323,81 @@ def mmfs_deform_factorized(
     wls = tuple(float(w) for (_, w) in level_shapes)
     hls = tuple(float(h) for (h, _) in level_shapes)
 
-    # --- packed per-head query slab [B, H, Qp, 2P + L*P + 2] f32, lanes
-    # [offx(P), offy(P), wq(L*P), refx, refy] — one fused concat-of-
-    # transposes pass, no per-level coordinate expansion
+    # --- packed per-head query slab [B, H, 2P + L*P + 2, Qp] f32,
+    # TRANSPOSED: sublanes [offx(P), offy(P), wq(L*P), refx, refy], lanes =
+    # queries — the minor dim is the 128-aligned query count, so the
+    # HBM-resident slab carries no lane padding (the straight layout's 50
+    # lanes pad to 128: 2.56x write+read waste).  One fused
+    # concat-of-transposes pass, no per-level coordinate expansion.
     refb = jnp.broadcast_to(
-        ref.astype(jnp.float32)[:, :, None, :], (B, Lq, H, 2)
+        ref.astype(jnp.float32).transpose(0, 2, 1)[:, None], (B, H, 2, Lq)
     )
     slab = jnp.concatenate(
         [
-            off_q[..., 0].astype(jnp.float32),
-            off_q[..., 1].astype(jnp.float32),
-            wq.reshape(B, Lq, H, L * P).astype(jnp.float32),
+            off_q[..., 0].astype(jnp.float32).transpose(0, 2, 3, 1),
+            off_q[..., 1].astype(jnp.float32).transpose(0, 2, 3, 1),
+            wq.reshape(B, Lq, H, L * P).astype(jnp.float32)
+            .transpose(0, 2, 3, 1),
             refb,
         ],
-        axis=-1,
-    ).transpose(0, 2, 1, 3)  # [B, H, Lq, 2P + L*P + 2]
+        axis=2,
+    )  # [B, H, 2P + L*P + 2, Lq]
     if q_pad:
-        slab = jnp.pad(slab, ((0, 0), (0, 0), (0, q_pad), (0, 0)))
-
-    # --- per-image delta [B, H, n_img, L*P*3]: (dx, dy, wi) — the additive
-    # texel shift and multiplicative weight factor per (image, level, point)
-    wl = jnp.asarray(wls, jnp.float32)
-    hl = jnp.asarray(hls, jnp.float32)
-    dx = off_img[:, :, :, None, :, 0] * inv_base \
-        * wl[None, None, None, :, None]  # [B, n_img, H, L, P]
-    dy = off_img[:, :, :, None, :, 1] * inv_base \
-        * hl[None, None, None, :, None]
-    delta = jnp.stack([dx, dy, wi.astype(jnp.float32)], axis=-1)
-    delta = delta.reshape(B, n_img, H, L * P * 3).transpose(0, 2, 1, 3)
+        slab = jnp.pad(slab, ((0, 0), (0, 0), (0, 0), (0, q_pad)))
 
     wq_any = (wq != 0).any(axis=(-2, -1))  # [B, Lq, H] live-query mask
+    delta_q = delta
+    if cfg_dup > 1:
+        delta_q = jnp.concatenate([delta] * cfg_dup, axis=0)
     occ = _occupancy_mi(
         ref[..., 1].astype(jnp.float32),
-        off_q[..., 1].astype(jnp.float32), wq_any, delta, metas, P,
+        off_q[..., 1].astype(jnp.float32), wq_any, delta_q, metas, P,
         tile_q, inv_base,
     )
 
-    # --- per-level ROW-MAJOR value slabs [B, H, n_img*HWp_l, D]
-    val = value.transpose(0, 3, 1, 2, 4)  # [B, H, n_img, hw, D]
-    level_vals, start = [], 0
-    for m in metas:
-        v = jax.lax.slice_in_dim(val, start, start + m.h * m.w, axis=3)
-        v = v.reshape(B, H, n_img, m.h, m.w, D)
-        if m.wp > m.w:
-            v = jnp.pad(
-                v, ((0, 0), (0, 0), (0, 0), (0, 0), (0, m.wp - m.w), (0, 0))
-            )
-        level_vals.append(v.reshape(B, H, n_img * m.hwp, D))
-        start += m.h * m.w
-
     n_tiles = Qp // tile_q
+    lanes = slab.shape[2]
     out = pl.pallas_call(
         functools.partial(
             _kernel_mi, metas=metas, n_points=P, n_img=n_img, tile_q=tile_q,
             inv_base=inv_base, wls=wls, hls=hls,
         ),
-        grid=(B, H, n_tiles),
+        # c (the CFG half) sits INSIDE h and OUTSIDE t: for a fixed (b, h)
+        # the value/delta block index is constant across the (c, t) inner
+        # loops, so the pipeline fetches each value block once per (b, h)
+        grid=(Bv, H, cfg_dup, n_tiles),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, 1, n_img, occ.shape[-1]),
-                lambda b, hh, t: (b, hh, t, 0, 0),
+                lambda b, hh, c, t: (c * Bv + b, hh, t, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, 1, tile_q, slab.shape[-1]),
-                lambda b, hh, t: (b, hh, t, 0),
+                (1, 1, lanes, tile_q),
+                lambda b, hh, c, t: (c * Bv + b, hh, 0, t),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, n_img, L * P * 3),
-                lambda b, hh, t: (b, hh, 0, 0),
+                lambda b, hh, c, t: (b, hh, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
         ] + [
             pl.BlockSpec(
                 (1, 1, v.shape[2], D),
-                lambda b, hh, t: (b, hh, 0, 0),
+                lambda b, hh, c, t: (b, hh, 0, 0),
                 memory_space=pltpu.VMEM,
             )
             for v in level_vals
         ],
         out_specs=pl.BlockSpec(
             (1, 1, tile_q, D),
-            lambda b, hh, t: (b, hh, t, 0),
+            lambda b, hh, c, t: (c * Bv + b, hh, t, 0),
             memory_space=pltpu.VMEM,
         ),
         # value dtype straight out of the f32 scratch accumulator — an f32
         # output pays double write + double transpose-read traffic
-        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), value.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), level_vals[0].dtype),
         scratch_shapes=[pltpu.VMEM((tile_q, D), jnp.float32)],
         interpret=interpret,
     )(occ, slab, delta, *level_vals)

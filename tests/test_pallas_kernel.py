@@ -239,3 +239,52 @@ def test_mi_factorized_matches_expanded_oracle(level_shapes, Lq, n_img):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+def test_mi_factorized_cfg_shared_image_side():
+    """`mmfs_deform_factorized_prepared` with a half-batch image side
+    (cfg_dup=2: query row c*Bv+b reads image row b) equals two stacked
+    full-batch calls — the CFG-sharing layout used by the denoise hoist."""
+    from mm_interleaved_tpu.ops.ms_deform_attn_pallas_mi import (
+        mmfs_deform_factorized,
+        mmfs_deform_factorized_prepared,
+        prepare_image_side,
+    )
+
+    rng = np.random.RandomState(7)
+    level_shapes = ((8, 8), (4, 4))
+    Bv, H, P, D, Lq, n_img = 2, 4, 3, 8, 70, 2
+    L = len(level_shapes)
+    hw = sum(h * w for h, w in level_shapes)
+    base = level_shapes[0][0]
+    value = rng.randn(Bv, n_img, hw, H, D).astype(np.float32)
+    off_img = (rng.randn(Bv, n_img, H, P, 2) * 2).astype(np.float32)
+    wi = rng.rand(Bv, n_img, H, L, P).astype(np.float32)
+    # query side at the duplicated batch (two CFG halves, different queries)
+    B = 2 * Bv
+    ref = rng.rand(B, Lq, 2).astype(np.float32)
+    off_q = (rng.randn(B, Lq, H, P, 2) * 2).astype(np.float32)
+    wq = rng.rand(B, Lq, H, L, P).astype(np.float32)
+
+    level_vals, delta = prepare_image_side(
+        jnp.asarray(value), level_shapes, jnp.asarray(off_img),
+        jnp.asarray(wi), 1.0 / base,
+    )
+    got = mmfs_deform_factorized_prepared(
+        level_vals, delta, level_shapes, jnp.asarray(ref),
+        jnp.asarray(off_q), jnp.asarray(wq), inv_base=1.0 / base,
+        interpret=True,
+    )
+
+    # reference: duplicate the image side explicitly per half
+    value2 = np.concatenate([value, value], axis=0)
+    off_img2 = np.concatenate([off_img, off_img], axis=0)
+    wi2 = np.concatenate([wi, wi], axis=0)
+    want = mmfs_deform_factorized(
+        jnp.asarray(value2), level_shapes, jnp.asarray(ref),
+        jnp.asarray(off_q), jnp.asarray(off_img2), jnp.asarray(wq),
+        jnp.asarray(wi2), inv_base=1.0 / base, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
