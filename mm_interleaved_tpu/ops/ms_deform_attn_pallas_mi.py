@@ -66,7 +66,7 @@ _LANE = 128
 
 
 def _kernel_mi(occ_ref, slab_ref, delta_ref, *refs, metas, n_points, n_img,
-               tile_q, inv_base, wls, hls):
+               tile_q, inv_base, wls, hls, heads_per_cell):
     """All images x all levels x occupied row chunks in one grid cell.
 
     Texel coordinates are built in-kernel from the packed query slab
@@ -78,64 +78,76 @@ def _kernel_mi(occ_ref, slab_ref, delta_ref, *refs, metas, n_points, n_img,
     with (dx, dy, wi) per (image, level, point) from the SMEM delta table.
     The bilinear matrix is built transposed (``A_T [chunk, tile_q]``) and
     contracted on dim 0 — same MXU work, no in-kernel transpose.
+
+    ``heads_per_cell`` heads are processed per grid cell, written side by
+    side on the output's lane axis: with D=64 pairing two heads makes the
+    write 128-lane dense in the final ``[B, Qp, H*D]`` layout — no HBM
+    lane padding and no post-kernel transpose.
     """
     L = len(metas)
     P = n_points
     value_refs = refs[:L]
     out_ref = refs[-2]
     acc_ref = refs[-1]
-    slab = slab_ref[0, 0, :, :]  # [2P + L*P + 2, tile_q] f32
     vdtype = value_refs[0].dtype
     prec = (jax.lax.Precision.HIGHEST if vdtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
     D = value_refs[0].shape[3]
-    acc_ref[...] = jnp.zeros((tile_q, D), jnp.float32)
+    acc_ref[...] = jnp.zeros((tile_q, heads_per_cell * D), jnp.float32)
 
-    refx = slab[2 * P + L * P:2 * P + L * P + 1, :]  # [1, tile_q]
-    refy = slab[2 * P + L * P + 1:2 * P + L * P + 2, :]
+    for hh in range(heads_per_cell):
+        slab = slab_ref[0, hh, :, :]  # [2P + L*P + 2, tile_q] f32
+        refx = slab[2 * P + L * P:2 * P + L * P + 1, :]  # [1, tile_q]
+        refy = slab[2 * P + L * P + 1:2 * P + L * P + 2, :]
 
-    for n in range(n_img):
-        bit = 0
-        for lid, m in enumerate(metas):
-            vref = value_refs[lid]
-            wl = wls[lid]
-            hl = hls[lid]
-            for g in range(m.G):
-                w_i, b_i = divmod(bit, _WORD_BITS)
-                cond = ((occ_ref[0, 0, 0, n, w_i] >> b_i) & 1) == 1
+        for n in range(n_img):
+            bit = 0
+            for lid, m in enumerate(metas):
+                vref = value_refs[lid]
+                wl = wls[lid]
+                hl = hls[lid]
+                for g in range(m.G):
+                    w_i, b_i = divmod(bit, _WORD_BITS)
+                    cond = ((occ_ref[0, hh, 0, n, w_i] >> b_i) & 1) == 1
 
-                @pl.when(cond)
-                def _(n=n, lid=lid, g=g, m=m, vref=vref, wl=wl, hl=hl):
-                    f = jax.lax.broadcasted_iota(
-                        jnp.int32, (m.chunk, tile_q), 0)
-                    iox = (f % m.wp).astype(jnp.float32)
-                    ioy = (f // m.wp).astype(jnp.float32) + float(g * m.hc)
-                    A_T = None
-                    for p in range(P):
-                        j = 3 * (lid * P + p)
-                        xs = (refx + slab[p:p + 1, :] * inv_base) * wl \
-                            - 0.5 + delta_ref[0, 0, n, j]
-                        ys = (refy + slab[P + p:P + p + 1, :] * inv_base) \
-                            * hl - 0.5 + delta_ref[0, 0, n, j + 1]
-                        aw = slab[2 * P + lid * P + p:
-                                  2 * P + lid * P + p + 1, :] \
-                            * delta_ref[0, 0, n, j + 2]
-                        contrib = _hat(iox - xs) * (_hat(ioy - ys) * aw)
-                        A_T = contrib if A_T is None else A_T + contrib
-                    lo = n * m.hwp + g * m.chunk
-                    rows = vref[0, 0, lo:lo + m.chunk, :]
-                    # contract the chunk axis of both (A_T^T @ rows) —
-                    # the MXU takes the transposed lhs via dimension
-                    # numbers, no data movement
-                    acc_ref[...] += jax.lax.dot_general(
-                        A_T.astype(vdtype), rows,
-                        (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32, precision=prec,
-                    )
+                    @pl.when(cond)
+                    def _(hh=hh, n=n, lid=lid, g=g, m=m, vref=vref, wl=wl,
+                          hl=hl, slab=slab, refx=refx, refy=refy):
+                        f = jax.lax.broadcasted_iota(
+                            jnp.int32, (m.chunk, tile_q), 0)
+                        iox = (f % m.wp).astype(jnp.float32)
+                        ioy = (f // m.wp).astype(jnp.float32) \
+                            + float(g * m.hc)
+                        A_T = None
+                        for p in range(P):
+                            j = 3 * (lid * P + p)
+                            xs = (refx + slab[p:p + 1, :] * inv_base) * wl \
+                                - 0.5 + delta_ref[0, hh, n, j]
+                            ys = (refy + slab[P + p:P + p + 1, :]
+                                  * inv_base) * hl - 0.5 \
+                                + delta_ref[0, hh, n, j + 1]
+                            aw = slab[2 * P + lid * P + p:
+                                      2 * P + lid * P + p + 1, :] \
+                                * delta_ref[0, hh, n, j + 2]
+                            contrib = _hat(iox - xs) * (_hat(ioy - ys) * aw)
+                            A_T = contrib if A_T is None else A_T + contrib
+                        lo = n * m.hwp + g * m.chunk
+                        rows = vref[0, hh, lo:lo + m.chunk, :]
+                        # contract the chunk axis of both (A_T^T @ rows) —
+                        # the MXU takes the transposed lhs via dimension
+                        # numbers, no data movement
+                        acc_ref[:, hh * D:(hh + 1) * D] += (
+                            jax.lax.dot_general(
+                                A_T.astype(vdtype), rows,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            )
+                        )
 
-                bit += 1
+                    bit += 1
 
-    out_ref[0, 0, :, :] = acc_ref[...].astype(out_ref.dtype)
+    out_ref[0, :, :] = acc_ref[...].astype(out_ref.dtype)
 
 
 def _occupancy_mi(refy, off_qy, wq_any, delta, metas, n_points, tile_q,
@@ -357,49 +369,66 @@ def mmfs_deform_factorized_prepared(
 
     n_tiles = Qp // tile_q
     lanes = slab.shape[2]
+    # group heads per grid cell so each cell writes a 128-lane-aligned
+    # dense slice of the FINAL [B, Qp, H*D] layout (D=64 -> head pairs) —
+    # no output lane padding, no post-kernel transpose.  Mosaic requires
+    # the lane block to be 128-divisible or the whole lane dim.
+    hpc = 1
+    if D % 128 != 0:
+        hpc = H  # fallback: whole lane dim per cell
+        for h in range(1, H):
+            if H % h == 0 and (h * D) % 128 == 0:
+                hpc = h
+                break
+    Hc = H // hpc
     out = pl.pallas_call(
         functools.partial(
             _kernel_mi, metas=metas, n_points=P, n_img=n_img, tile_q=tile_q,
-            inv_base=inv_base, wls=wls, hls=hls,
+            inv_base=inv_base, wls=wls, hls=hls, heads_per_cell=hpc,
         ),
         # c (the CFG half) sits INSIDE h and OUTSIDE t: for a fixed (b, h)
         # the value/delta block index is constant across the (c, t) inner
         # loops, so the pipeline fetches each value block once per (b, h)
-        grid=(Bv, H, cfg_dup, n_tiles),
+        grid=(Bv, Hc, cfg_dup, n_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 1, n_img, occ.shape[-1]),
+                (1, hpc, 1, n_img, occ.shape[-1]),
                 lambda b, hh, c, t: (c * Bv + b, hh, t, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, 1, lanes, tile_q),
+                (1, hpc, lanes, tile_q),
                 lambda b, hh, c, t: (c * Bv + b, hh, 0, t),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, n_img, L * P * 3),
+                (1, hpc, n_img, L * P * 3),
                 lambda b, hh, c, t: (b, hh, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
         ] + [
             pl.BlockSpec(
-                (1, 1, v.shape[2], D),
+                (1, hpc, v.shape[2], D),
                 lambda b, hh, c, t: (b, hh, 0, 0),
                 memory_space=pltpu.VMEM,
             )
             for v in level_vals
         ],
+        # 3D output [B, Qp, H*D] with a (1, tile_q, hpc*D) block at lane
+        # offset hh*hpc*D — each cell writes its head pair's 128-lane slice
+        # of the FINAL layout directly (Mosaic needs the last two block
+        # dims (8, 128)-divisible, which a [.., Hc, 128] 4D block isn't)
         out_specs=pl.BlockSpec(
-            (1, 1, tile_q, D),
-            lambda b, hh, c, t: (c * Bv + b, hh, t, 0),
+            (1, tile_q, hpc * D),
+            lambda b, hh, c, t: (c * Bv + b, t, hh),
             memory_space=pltpu.VMEM,
         ),
         # value dtype straight out of the f32 scratch accumulator — an f32
         # output pays double write + double transpose-read traffic
-        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), level_vals[0].dtype),
-        scratch_shapes=[pltpu.VMEM((tile_q, D), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct(
+            (B, Qp, H * D), level_vals[0].dtype
+        ),
+        scratch_shapes=[pltpu.VMEM((tile_q, hpc * D), jnp.float32)],
         interpret=interpret,
     )(occ, slab, delta, *level_vals)
-    out = out[:, :, :Lq].transpose(0, 2, 1, 3)
-    return out.reshape(B, Lq, H * D)
+    return out[:, :Lq]
